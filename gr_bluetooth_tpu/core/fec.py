@@ -1,0 +1,141 @@
+"""Bluetooth BR forward error correction — FEC 1/3 and FEC 2/3.
+
+FEC 1/3 (spec Vol 2 Part B §8.2): every bit repeated 3x; decode by majority
+vote, counting disagreeing triples.  Reference: unfec13,
+lib/packet_impl.cc:366-383 (accept when errors < len/4).
+
+FEC 2/3 (spec §8.3): (15,10) shortened Hamming code, generator
+g(D) = D^5 + D^3 + D + 1 (the reference's fecgen {1,1,0,1,0,1},
+lib/packet_impl.cc:394).  Encode appends the 5-bit remainder of data·D^5 mod
+g.  Decode computes the 5-bit syndrome; weight<=1 syndromes are accepted
+unchanged (parity-bit errors), syndromes matching a single data-bit error
+correct that bit, anything else marks the block undecodable.
+
+Note on the reference: its unfec23 error-corrector
+(lib/packet_impl.cc:386-468) builds the syndrome with the block's mismatch
+count pre-loaded into the comparison value, so the documented single-bit
+corrections (the `case 26/13/28/...` table, which this module reproduces as
+the true syndrome map) can never fire and all >=2-mismatch blocks are
+dropped.  We implement the behavior its comments/spec intend: true
+single-data-bit correction.  This strictly increases decode success.
+
+All functions are batch-vectorized: leading axes are batch, last axis bits.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.bits import host_to_air
+
+__all__ = [
+    "unfec13", "fec13_encode", "fec23_encode", "fec23_decode",
+    "FEC23_GEN_POLY",
+]
+
+FEC23_GEN_POLY = 0b101011  # bit j = D^j coefficient; monic D^5
+
+
+def fec13_encode(bits: np.ndarray) -> np.ndarray:
+    """Repeat every bit three times along the last axis."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    return np.repeat(bits, 3, axis=-1)
+
+
+def unfec13(bits: np.ndarray):
+    """Majority-vote decode of triplicated bits.
+
+    bits: (..., 3*L).  Returns (data (..., L) uint8, ok (...,) bool) where
+    ok = (#disagreeing triples) < L/4, matching the reference's threshold.
+    """
+    bits = np.asarray(bits, dtype=np.uint8)
+    L = bits.shape[-1] // 3
+    t = bits[..., :3 * L].reshape(bits.shape[:-1] + (L, 3))
+    a, b, c = t[..., 0], t[..., 1], t[..., 2]
+    data = (a & b) | (b & c) | (c & a)
+    nerr = ((a ^ b) | (b ^ c) | (c ^ a)).sum(axis=-1)
+    return data, nerr < (L // 4)
+
+
+def _parity5(data10: np.ndarray) -> np.ndarray:
+    """5-bit remainder of data(D)*D^5 mod g(D); data10: (..., 10)."""
+    g = host_to_air(FEC23_GEN_POLY, 6).astype(np.uint8)
+    c = np.zeros(data10.shape[:-1] + (15,), dtype=np.uint8)
+    c[..., 5:15] = data10
+    for k in range(14, 4, -1):
+        m = c[..., k:k + 1]  # leading coefficient, broadcast over the 6 taps
+        c[..., k - 5:k + 1] ^= m * g
+    return c[..., :5]
+
+
+def _syndrome_map():
+    """syndrome (as 5-bit int) -> data bit index to flip, for single errors."""
+    table = np.full(32, -1, dtype=np.int64)
+    for i in range(10):
+        unit = np.zeros(10, dtype=np.uint8)
+        unit[i] = 1
+        syn = int((_parity5(unit).astype(np.int64) << np.arange(5)).sum())
+        table[syn] = i
+    return table
+
+
+_SYN_MAP = _syndrome_map()
+_W5 = (1 << np.arange(5, dtype=np.int64))
+
+
+def fec23_encode(data: np.ndarray) -> np.ndarray:
+    """Encode (..., 10*k) data bits into (..., 15*k) codeword bits."""
+    data = np.asarray(data, dtype=np.uint8)
+    k = data.shape[-1] // 10
+    blocks = data.reshape(data.shape[:-1] + (k, 10))
+    par = _parity5(blocks)
+    cw = np.concatenate([blocks, par], axis=-1)
+    return cw.reshape(data.shape[:-1] + (15 * k,))
+
+
+def fec23_decode(bits: np.ndarray, nbits: int):
+    """Decode FEC 2/3 blocks.
+
+    bits: (..., >=15*ceil(nbits/10)) received symbols; nbits = payload bits
+    expected *before* encoding (the reference pads the tail block,
+    lib/packet_impl.cc:396-404).  Returns (data (..., padded_bits), ok (...,))
+    where ok is False if any block had an uncorrectable (>=2-bit) error.
+    """
+    bits = np.asarray(bits, dtype=np.uint8)
+    nblocks = (nbits + 9) // 10
+    need = 15 * nblocks
+    cw = bits[..., :need].reshape(bits.shape[:-1] + (nblocks, 15))
+    data = cw[..., :10].copy()
+    par = cw[..., 10:15]
+    syn_bits = _parity5(data) ^ par
+    syn = (syn_bits.astype(np.int64) * _W5).sum(axis=-1)           # (..., nblocks)
+    wt = syn_bits.sum(axis=-1).astype(np.int64)
+    flip = _SYN_MAP[syn]                                           # -1 or bit index
+    correctable = (wt <= 1) | (flip >= 0)
+    # apply single-data-bit corrections where indicated and weight >= 2
+    do_flip = (wt >= 2) & (flip >= 0)
+    idx = np.where(flip >= 0, flip, 0)
+    onehot = (np.arange(10) == idx[..., None]) & do_flip[..., None]
+    data = data ^ onehot.astype(np.uint8)
+    ok = correctable.all(axis=-1)
+    return data.reshape(bits.shape[:-1] + (10 * nblocks,)), ok
+
+
+def fec23_decode_blocks(bits: np.ndarray):
+    """Per-block decode: like fec23_decode but returns per-block ok flags.
+
+    bits: (..., nblocks, 15) -> (data (..., nblocks, 10), ok (..., nblocks)).
+    Used by the EV4 scan which consumes blocks until one fails
+    (lib/packet_impl.cc:915-968).
+    """
+    bits = np.asarray(bits, dtype=np.uint8)
+    data = bits[..., :10].copy()
+    par = bits[..., 10:15]
+    syn_bits = _parity5(data) ^ par
+    syn = (syn_bits.astype(np.int64) * _W5).sum(axis=-1)
+    wt = syn_bits.sum(axis=-1).astype(np.int64)
+    flip = _SYN_MAP[syn]
+    ok = (wt <= 1) | (flip >= 0)
+    do_flip = (wt >= 2) & (flip >= 0)
+    idx = np.where(flip >= 0, flip, 0)
+    onehot = (np.arange(10) == idx[..., None]) & do_flip[..., None]
+    return data ^ onehot.astype(np.uint8), ok
