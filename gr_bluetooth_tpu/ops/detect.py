@@ -1,0 +1,129 @@
+"""Dense packet detection: classic access codes + LE access addresses.
+
+The reference slides symbol-by-symbol in C++ (sniff_ac,
+lib/packet_impl.cc:246-268; sniff_aa, :1452-1527), regenerating and checking
+one candidate at a time.  The TPU formulation checks *every* offset of every
+channel at once:
+
+classic: the access code is affine over GF(2) in its 24 LAP bits
+(ops on the (A, C) form from core.access_code).  For each offset i:
+    lap_bits(i) = bits[i+38 : i+62]
+    predicted(i) = (A68 @ lap_bits(i) + C68) mod 2
+    err(i) = sum_j bits[i+j] XOR predicted_j(i)
+The matmul runs on the MXU in f32 (values <= 24, exact); XOR in {0,1}
+arithmetic is a + p - 2 a p.  The same preamble+Barker <= 2 prefilter as the
+reference is computed densely so accept/reject parity holds exactly.
+
+LE: preamble/AA/dewhitened-header Hamming distances via the generated tables
+(core.le_tables) as vectorized gathers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import access_code, whitening
+from ..core.le_tables import (ACCESS_HEADER_DISTANCE, AA_DISTANCE,
+                              DATA_HEADER_DISTANCE, LE_PREAMBLE_DISTANCE)
+
+__all__ = ["classic_detect", "le_detect"]
+
+_A68, _C68 = access_code.affine_code()
+_A68 = _A68[:68].astype(np.float32)           # (68, 24)
+_C68v = _C68[:68].astype(np.float32)          # (68,)
+
+# alternating patterns for preamble (offsets 0..4) and the two valid Barker
+# windows at offsets 61..67 (see core.access_code tables)
+_PRE_PATTERNS = np.array([[1, 0, 1, 0, 1], [0, 1, 0, 1, 0]], dtype=np.float32)
+_BARK_PATTERNS = np.array(
+    [[1, 1, 1, 0, 0, 1, 0], [0, 0, 0, 1, 1, 0, 1]], dtype=np.float32)
+
+
+def _windows(bits_f, offsets, width):
+    """Stack shifted slices: (C, T) -> (C, T-width+1? , len(offsets))."""
+    T = bits_f.shape[-1]
+    n = T - width + 1
+    return jnp.stack([bits_f[:, o:o + n] for o in offsets], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_ac_errors", "max_distance"))
+def _classic_detect_impl(bits_f, A, Cv, max_ac_errors: int, max_distance: int):
+    C, T = bits_f.shape
+    n = T - 72 + 1                                     # candidate offsets
+    if n <= 0:
+        raise ValueError("block shorter than one access code")
+    w = _windows(bits_f, range(68), 72)                # (C, n, 68)
+    lap = w[..., 38:62]                                # (C, n, 24)
+    pred = lap @ A.T + Cv                              # (C, n, 68) int-valued
+    pred = pred - 2.0 * jnp.floor(pred * 0.5)          # mod 2, exact in f32
+    err = (w + pred - 2.0 * w * pred).sum(-1)          # Hamming distance
+
+    pre = w[..., 0:5]                                  # (C, n, 5)
+    pre_d = jnp.min(
+        jnp.stack([(pre + p - 2 * pre * p).sum(-1) for p in _PRE_PATTERNS]),
+        axis=0)
+    bark = w[..., 61:68]
+    bark_d = jnp.min(
+        jnp.stack([(bark + p - 2 * bark * p).sum(-1) for p in _BARK_PATTERNS]),
+        axis=0)
+
+    lap_val = (lap * (2.0 ** np.arange(24, dtype=np.float32))).sum(-1)
+    hits = (pre_d + bark_d <= max_distance) & (err <= max_ac_errors)
+    return hits, err.astype(jnp.int32), lap_val.astype(jnp.int32)
+
+
+def classic_detect(bits, max_ac_errors: int = 6, max_distance: int = 2):
+    """bits: (C, T) {0,1}.  Returns (hits bool, err int32, lap int32),
+    each (C, T-71): candidate access-code starts per channel/offset."""
+    bits_f = jnp.asarray(bits).astype(jnp.float32)
+    return _classic_detect_impl(bits_f, jnp.asarray(_A68), jnp.asarray(_C68v),
+                                max_ac_errors, max_distance)
+
+
+# ---------------------------------------------------------------- LE
+
+def _le_dewhiten_header_bits(index: int) -> np.ndarray:
+    """Whitening word covering symbols 40..55 (the 16 header bits)."""
+    return whitening.le_whitening_word(index, 16, skip=0).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("index", "is_access"))
+def _le_detect_one(bits_f, index: int, is_access: bool):
+    """bits_f: (T,) one LE channel.  Distances per offset (T-55)."""
+    T = bits_f.shape[0]
+    n = T - 56 + 1
+    w = jnp.stack([bits_f[o:o + n] for o in range(56)], axis=-1)  # (n, 56)
+
+    pre_idx = (w[:, 0:9] * (2.0 ** np.arange(9, dtype=np.float32))).sum(-1)
+    pre_d = jnp.asarray(LE_PREAMBLE_DISTANCE)[pre_idx.astype(jnp.int32)]
+
+    white = jnp.asarray(_le_dewhiten_header_bits(index))
+    hdr = jnp.abs(w[:, 40:56] - white)                 # XOR with fixed word
+    hdr_lsb = (hdr[:, 0:8] * (2.0 ** np.arange(8, dtype=np.float32))).sum(-1)
+    hdr_msb = (hdr[:, 8:16] * (2.0 ** np.arange(8, dtype=np.float32))).sum(-1)
+    tbl = ACCESS_HEADER_DISTANCE if is_access else DATA_HEADER_DISTANCE
+    hdr_d = (jnp.asarray(tbl[0])[hdr_lsb.astype(jnp.int32)] +
+             jnp.asarray(tbl[1])[hdr_msb.astype(jnp.int32)])
+
+    dist = pre_d.astype(jnp.int32) + hdr_d.astype(jnp.int32)
+    max_dist = 0
+    if is_access:
+        aa_d = jnp.zeros_like(dist)
+        for k in range(4):
+            b = (w[:, 8 + 8 * k:16 + 8 * k] *
+                 (2.0 ** np.arange(8, dtype=np.float32))).sum(-1)
+            aa_d = aa_d + jnp.asarray(AA_DISTANCE[k])[b.astype(jnp.int32)].astype(jnp.int32)
+        dist = dist + aa_d
+        max_dist = 2
+    return dist <= max_dist, dist
+
+
+def le_detect(bits, index: int):
+    """bits: (T,) one channel's symbols; index: LE channel index 0..39.
+    Returns (hits bool, distance int32) per offset, mirroring sniff_aa
+    (lib/packet_impl.cc:1452-1527)."""
+    bits_f = jnp.asarray(bits).astype(jnp.float32).reshape(-1)
+    return _le_detect_one(bits_f, index, index >= 37)
