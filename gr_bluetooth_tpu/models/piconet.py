@@ -1,0 +1,266 @@
+"""Piconet state engines: passive UAP/clock recovery and hop following.
+
+Re-design of lib/piconet_impl.cc.  Two structural inversions vs the reference:
+
+  * CLK1-6/UAP attack: the reference loops over 64 candidate clocks calling
+    try_clock per candidate (piconet_impl.cc:457-496).  Here the header
+    trial-unwhitening and HEC reversal for all 64 candidates is one
+    vectorized batch (packets.try_clocks); only surviving candidates run the
+    payload crc_check.
+  * CLK1-27 reversal: no 134 MB sequence table — candidates are winnowed
+    against the closed-form hop kernel evaluated lazily (core/hop.py).
+
+Algorithm-level recovery semantics preserved (SURVEY §5): candidate-
+exhaustion reset + AFH retry, pattern-overflow reset, FHS-restore.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import MAX_PATTERN_LENGTH, SEQUENCE_LENGTH
+from ..core import hop
+from ..core.packets import ClassicPacket
+from ..utils.log import get_logger
+
+__all__ = ["BasicRatePiconet", "LowEnergyPiconet"]
+
+log = get_logger("piconet")
+
+
+@dataclass
+class BasicRatePiconet:
+    lap: int
+
+    uap: int = 0
+    nap: int = 0
+    clk_offset: int = 0
+    have_uap: bool = False
+    have_nap: bool = False
+    have_clk6: bool = False
+    have_clk27: bool = False
+
+    afh: bool = False
+    looks_like_afh: bool = False
+    aliased: bool = False
+    hop_reversal_inited: bool = False
+
+    got_first_packet: bool = False
+    first_pkt_time: int = 0
+    packets_observed: int = 0
+    total_packets_observed: int = 0
+    winnowed: int = 0
+
+    pattern_indices: list = field(default_factory=list)
+    pattern_channels: list = field(default_factory=list)
+
+    # CLK1-6 candidates: candidate UAP per first-packet clock, -1 = eliminated
+    clock6_candidates: np.ndarray = field(
+        default_factory=lambda: np.full(64, -1, dtype=np.int64))
+
+    clock27_candidates: np.ndarray | None = None
+    _addr_consts: hop.AddressConsts | None = None
+
+    pkt_queue: list = field(default_factory=list)
+
+    # ------------------------------------------------------------ queue
+
+    def enqueue(self, pkt):
+        self.pkt_queue.append(pkt)
+
+    def dequeue(self):
+        return self.pkt_queue.pop(0) if self.pkt_queue else None
+
+    # ------------------------------------------------------------ CLK1-6/UAP
+
+    def uap_from_header(self, pkt: ClassicPacket) -> bool:
+        """Ossmann's candidate-elimination attack, vectorized.
+
+        Mirrors basic_rate_piconet_impl::UAP_from_header
+        (lib/piconet_impl.cc:433-517); returns True once UAP+CLK1-6 known.
+        """
+        clkn = pkt.clkn
+        # Pin the pattern time base to the first *recorded* packet.  The
+        # reference keys this on d_got_first_packet (piconet_impl.cc:442-443),
+        # which stays false after a CRC-certain early-return win — so its
+        # base drifts to every new packet and the recorded hop pattern
+        # becomes self-inconsistent (latent bug, only visible with
+        # CRC-certain traffic).  Keying on the pattern itself keeps the
+        # winnow replay consistent; reset() clears it as before.
+        if not self.pattern_indices:
+            self.first_pkt_time = clkn
+
+        if self.packets_observed < MAX_PATTERN_LENGTH:
+            self.pattern_indices.append(clkn - self.first_pkt_time)
+            self.pattern_channels.append(pkt.channel)
+        else:
+            log.warning("pattern overflow; resetting piconet %06x", self.lap)
+            self.reset()
+            return False
+        self.packets_observed += 1
+        self.total_packets_observed += 1
+
+        counts = np.arange(64)
+        alive = (self.clock6_candidates > -1) | (not self.got_first_packet)
+        clocks = (counts + clkn - self.first_pkt_time) % 64
+        uaps, types, fec_ok = pkt.try_clocks(clocks)
+
+        starting = int(alive.sum())
+        remaining = 0
+        first_clock = 0
+        new_cands = self.clock6_candidates.copy()
+        for count in np.nonzero(alive)[0]:
+            clock = int(clocks[count])
+            uap = int(uaps[count]) if fec_ok else 0
+            if not fec_ok:
+                new_cands[count] = -1
+                continue
+            if self.got_first_packet and uap != self.clock6_candidates[count]:
+                new_cands[count] = -1
+                continue
+            pkt.uap = uap
+            pkt.packet_type = int(types[count])
+            retval = pkt.crc_check(clock)
+            if retval == 0:
+                new_cands[count] = -1
+            elif retval == 1:
+                new_cands[count] = uap
+                first_clock = int(count)
+                remaining += 1
+            else:  # CRC-verified
+                log.info("Correct CRC! UAP=0x%02x after %d packets",
+                         uap, self.total_packets_observed)
+                self.clk_offset = (int(count) - (self.first_pkt_time & 0x3F)) & 0x3F
+                self.uap = uap
+                self.have_clk6 = self.have_uap = True
+                self.total_packets_observed = 0
+                self.clock6_candidates = new_cands
+                # NOTE: got_first_packet deliberately NOT set — the reference's
+                # early return skips it (piconet_impl.cc:487-494), so a
+                # CRC-certain piconet re-runs a full fresh candidate pass on
+                # every later packet and keeps re-winning consistently.
+                return True
+
+        self.clock6_candidates = new_cands
+        self.got_first_packet = True
+        log.debug("reduced from %d to %d CLK1-6 candidates", starting, remaining)
+
+        if remaining == 1:
+            self.clk_offset = (first_clock - (self.first_pkt_time & 0x3F)) & 0x3F
+            self.uap = int(self.clock6_candidates[first_clock])
+            self.have_clk6 = self.have_uap = True
+            log.info("We have a winner! UAP=0x%02x after %d packets",
+                     self.uap, self.total_packets_observed)
+            self.total_packets_observed = 0
+            return True
+        if remaining == 0:
+            self.reset()
+        return False
+
+    # ------------------------------------------------------------ CLK1-27
+
+    def init_hop_reversal(self, aliased: bool = False) -> int:
+        """Start CLK1-27 recovery (lib/piconet_impl.cc:96-129) — lazily:
+        candidates are clock values; channels are computed on demand."""
+        self._addr_consts = hop.address_precalc(
+            ((self.uap << 24) | self.lap) & 0xFFFFFFF)
+        clock6 = (self.clk_offset + self.first_pkt_time) & 0x3F
+        self.aliased = aliased
+        self.clock27_candidates = hop.init_candidates(
+            int(self.pattern_channels[0]), clock6, self._addr_consts,
+            aliased=aliased, afh=self.afh)
+        self.winnowed = 0
+        self.hop_reversal_inited = True
+        self.have_clk27 = False
+        log.info("%d initial CLK1-27 candidates", len(self.clock27_candidates))
+        return len(self.clock27_candidates)
+
+    def winnow(self) -> int:
+        """Replay recorded (offset, channel) pattern against candidates;
+        flags AFH on consecutive same-channel slots (piconet_impl.cc:341-368)."""
+        n = len(self.clock27_candidates) if self.clock27_candidates is not None else 0
+        while self.winnowed < self.packets_observed:
+            i = self.winnowed
+            index = int(self.pattern_indices[i])
+            channel = int(self.pattern_channels[i])
+            self.clock27_candidates = hop.winnow(
+                self.clock27_candidates, index, channel, self._addr_consts,
+                aliased=self.aliased, afh=self.afh)
+            n = len(self.clock27_candidates)
+            if i > 0:
+                last_index = int(self.pattern_indices[i - 1])
+                last_channel = int(self.pattern_channels[i - 1])
+                if (not self.looks_like_afh and index == last_index + 1
+                        and channel == last_channel):
+                    self.looks_like_afh = True
+            self.winnowed += 1
+            if n == 1:
+                self.clk_offset = int(
+                    (self.clock27_candidates[0] - self.first_pkt_time)
+                    & (SEQUENCE_LENGTH - 1))
+                self.have_clk27 = True
+                log.info("Acquired CLK1-27 offset = 0x%07x", self.clk_offset)
+            elif n == 0:
+                self.reset()
+                break
+            else:
+                log.debug("%d CLK1-27 candidates remaining", n)
+        return n
+
+    def hop(self, clock: int) -> int:
+        """Channel for a CLK1-27 slot clock (lazy; no sequence table)."""
+        return int(hop.hop(clock, self._addr_consts, afh=self.afh))
+
+    def aliased_channel(self, channel: int) -> int:
+        return int(hop.aliased_channel(channel))
+
+    # ------------------------------------------------------------ state
+
+    def set_uap(self, uap: int):
+        self.uap = uap
+        self.have_uap = True
+
+    def set_nap(self, nap: int):
+        self.nap = nap
+        self.have_nap = True
+
+    def set_offset(self, offset: int):
+        """FHS-derived instant restore (multi_sniffer_impl.cc:324-365)."""
+        self.clk_offset = offset
+        self.have_clk6 = True
+        self.have_clk27 = True
+
+    def get_offset(self) -> int:
+        return self.clk_offset
+
+    def reset(self):
+        """Candidate exhaustion: start over, retry with AFH if suspected
+        (lib/piconet_impl.cc:526-547)."""
+        log.info("no candidates remaining for %06x! starting over", self.lap)
+        self.got_first_packet = False
+        self.packets_observed = 0
+        self.winnowed = 0
+        self.pattern_indices.clear()
+        self.pattern_channels.clear()
+        self.hop_reversal_inited = False
+        self.have_uap = False
+        self.have_clk6 = False
+        self.have_clk27 = False
+        self.clock6_candidates = np.full(64, -1, dtype=np.int64)
+        self.clock27_candidates = None
+        self.afh = self.looks_like_afh
+        self.looks_like_afh = False
+
+
+@dataclass
+class LowEnergyPiconet:
+    """LE connection tracking (the reference's is an empty stub,
+    lib/piconet_impl.cc:551-585; we at least track observations)."""
+    aa: int
+    packets_seen: int = 0
+    pkt_queue: list = field(default_factory=list)
+
+    def enqueue(self, pkt):
+        self.pkt_queue.append(pkt)
+        self.packets_seen += 1

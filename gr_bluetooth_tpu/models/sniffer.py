@@ -1,0 +1,192 @@
+"""All-piconet sniffer mode — parity with multi_sniffer
+(lib/multi_sniffer_impl.cc): decode everything from every piconet
+concurrently, discovering UAPs and clocks as needed, harvesting FHS packets,
+and optionally framing decoded packets for Wireshark (pcap/TAP writer).
+
+Flow per detected classic AC (multi_sniffer_impl.cc:169-204):
+  header_present?  no  -> ID packet, log LAP
+  piconet known (clk6+UAP)? -> decode, print, FHS harvest, writer
+  else -> enqueue + UAP_from_header; on success decode the backlog (recall)
+  GIAC/LIAC piconets are not retained (inquiry responses).
+
+LE path: detect AAs on 2-MHz-grid channels, parse + track per-AA piconets
+(the reference's LE decode paths are stubs; parsing here is complete for
+advertising PDUs incl. CONNECT_REQ LLData).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import DEFAULT_SNR_DB, GIAC, LIAC, SYMBOLS_LE_PREAMBLE_AA
+from ..core.le_tables import freq2index
+from ..core.packets import ClassicPacket, LePacket
+from ..ops import detect
+from ..utils.log import EventBus, bus as default_bus, get_logger
+from .frontend import FrontEnd
+from .piconet import BasicRatePiconet, LowEnergyPiconet
+
+__all__ = ["Sniffer"]
+
+log = get_logger("sniffer")
+
+LE_MIN_SYMBOLS = 400  # enough for preamble+AA+header+max adv PDU
+
+
+class Sniffer:
+    def __init__(self, sample_rate: float, center_freq: float,
+                 squelch_threshold: float = DEFAULT_SNR_DB,
+                 writer=None, bus: EventBus | None = None,
+                 enable_le: bool = True, **fe_kwargs):
+        self.fe = FrontEnd(sample_rate, center_freq, squelch_threshold,
+                           max_ac_errors=6, **fe_kwargs)
+        self.writer = writer
+        self.bus = bus or default_bus
+        self.enable_le = enable_le
+        self.basic_rate_piconets: dict[int, BasicRatePiconet] = {}
+        self.low_energy_piconets: dict[int, LowEnergyPiconet] = {}
+        self.decoded: list[ClassicPacket] = []
+        self.le_packets: list[LePacket] = []
+        # LE channels present in the bank (2 MHz grid)
+        self._le_rows = [(i, ch, freq2index(2402e6 + ch * 1e6))
+                         for i, ch in enumerate(self.fe.bank.channels)
+                         if freq2index(2402e6 + ch * 1e6) >= 0]
+
+    # ------------------------------------------------------------ classic
+
+    def _handle_ac(self, res, hit):
+        pkt = ClassicPacket(symbols=self.fe.packet_symbols(res, hit),
+                            clkn=hit.clkn, channel=hit.channel,
+                            snr=hit.snr_db)
+        lap = pkt.lap
+        self.bus.emit("ac_seen", clkn=hit.clkn, channel=hit.channel,
+                      lap=lap, snr_db=hit.snr_db)
+        if not pkt.header_present():
+            self._id(lap)
+            return
+        pn = self.basic_rate_piconets.get(lap)
+        if pn is None:
+            pn = self.basic_rate_piconets[lap] = BasicRatePiconet(lap=lap)
+        if pn.have_clk6 and pn.have_uap:
+            self._decode(pkt, pn, first_run=True)
+        else:
+            self._discover(pkt, pn)
+        if lap in (GIAC, LIAC):
+            # inquiry responses: keeping state would only cause trouble
+            self.basic_rate_piconets.pop(lap, None)
+
+    def _id(self, lap: int):
+        self.bus.emit("id_packet", lap=lap)
+        log.info("ID packet, LAP %06x", lap)
+        if self.writer is not None:
+            self.writer.write_id(lap)
+
+    def _decode(self, pkt: ClassicPacket, pn: BasicRatePiconet,
+                first_run: bool):
+        clock = pkt.clkn + pn.get_offset()
+        pkt.set_clock(clock, pn.have_clk27)
+        pkt.set_uap(pn.uap)
+        ok = pkt.decode()
+        if ok:
+            self.decoded.append(pkt)
+            self.bus.emit("packet_decoded", lap=pkt.lap, uap=pkt.uap,
+                          clkn=pkt.clkn, channel=pkt.channel,
+                          type=pkt.packet_type, type_name=pkt.type_name(),
+                          payload_length=pkt.payload_length)
+            log.info("time %6d ch %2d LAP %06x %s", pkt.clkn, pkt.channel,
+                     pkt.lap, pkt.summary().replace("\n", " | "))
+            if self.writer is not None:
+                if pn.have_nap:
+                    pkt.nap = pn.nap
+                addr = ((pn.nap << 32) if pn.have_nap else 0) | \
+                    (pkt.uap << 24) | pkt.lap
+                self.writer.write_packet(pkt.tun_format(), addr)
+            if pkt.packet_type == 2:
+                self._fhs(pkt)
+        elif first_run:
+            log.info("lost clock on %06x! rediscovering", pkt.lap)
+            self.bus.emit("clock_lost", lap=pkt.lap)
+            pn.reset()
+            self._discover(pkt, pn)
+        else:
+            log.debug("giving up on queued packet (LAP %06x)", pkt.lap)
+
+    def _discover(self, pkt: ClassicPacket, pn: BasicRatePiconet):
+        pn.enqueue(pkt)
+        if pn.uap_from_header(pkt):
+            self.bus.emit("uap_found", lap=pn.lap, uap=pn.uap,
+                          clk_offset=pn.clk_offset)
+            self._recall(pn)
+
+    def _recall(self, pn: BasicRatePiconet):
+        log.info("decoding %d queued packets for %06x",
+                 len(pn.pkt_queue), pn.lap)
+        while True:
+            pkt = pn.dequeue()
+            if pkt is None:
+                break
+            self._decode(pkt, pn, first_run=False)
+
+    def _fhs(self, pkt: ClassicPacket):
+        """Harvest UAP/NAP/clock from an FHS payload — instant piconet
+        state restore (multi_sniffer_impl.cc:324-365)."""
+        lap = pkt.lap_from_fhs()
+        uap = pkt.uap_from_fhs()
+        nap = pkt.nap_from_fhs()
+        clk = pkt.clock_from_fhs() << 1
+        offset = (clk - pkt.clkn) & 0x7FFFFFF
+        bd = f"{(nap >> 8) & 0xff:02x}:{nap & 0xff:02x}:{uap:02x}:" \
+             f"{(lap >> 16) & 0xff:02x}:{(lap >> 8) & 0xff:02x}:{lap & 0xff:02x}"
+        log.info("FHS contents: BD_ADDR %s, CLK %07x", bd, clk)
+        pn = self.basic_rate_piconets.get(lap)
+        if pn is None:
+            pn = self.basic_rate_piconets[lap] = BasicRatePiconet(lap=lap)
+        pn.set_uap(uap)
+        pn.set_nap(nap)
+        pn.set_offset(offset)
+        self.bus.emit("fhs_harvested", lap=lap, uap=uap, nap=nap,
+                      clk=clk, offset=offset)
+
+    # ------------------------------------------------------------ LE
+
+    def _handle_le(self, res):
+        limit = res.n_slots * 625
+        for row, ch, index in self._le_rows:
+            bits = res.bits[row]
+            hits_m, dist = detect.le_detect(bits, index)
+            hits_m = np.asarray(hits_m)
+            offs = np.nonzero(hits_m[:limit])[0]
+            last_end = -1
+            for t in offs:
+                if t < last_end:
+                    continue
+                slot = int(t) // 625
+                s_db = float(res.snr_db[slot, row]) if slot < res.snr_db.shape[0] else 0.0
+                if self.fe.use_squelch and s_db < self.fe.squelch:
+                    continue
+                last_end = int(t) + SYMBOLS_LE_PREAMBLE_AA
+                sym = bits[int(t): int(t) + LE_MIN_SYMBOLS]
+                pkt = LePacket(symbols=sym, freq=2402e6 + ch * 1e6,
+                               clkn=(res.slot_base + slot) & 0x7FFFFFF,
+                               snr=s_db)
+                self.le_packets.append(pkt)
+                self.bus.emit("le_seen", clkn=pkt.clkn, index=pkt.index,
+                              aa=pkt.aa, pdu_type=pkt.pdu_type,
+                              length=pkt.length)
+                log.info("time %6d, snr=%.1f, %s", pkt.clkn, s_db,
+                         pkt.summary().splitlines()[0])
+                aa = pkt.aa
+                if aa not in self.low_energy_piconets:
+                    self.low_energy_piconets[aa] = LowEnergyPiconet(aa=aa)
+                self.low_energy_piconets[aa].enqueue(pkt)
+
+    # ------------------------------------------------------------ run
+
+    def run(self, samples, start_clkn: int = 0):
+        for res in self.fe.stream(samples, start_clkn):
+            for h in res.hits:
+                self._handle_ac(res, h)
+            if self.enable_le:
+                self._handle_le(res)
+        return self.decoded

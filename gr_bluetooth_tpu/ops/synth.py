@@ -63,13 +63,17 @@ def synthesize_capture(packets: list[PlannedPacket], n_samples: int,
          1j * rng.normal(0, noise_std, n_samples)).astype(np.complex64)
     n_idx = np.arange(n_samples, dtype=np.float64)
     for p in packets:
+        f_rel = (BASE_FREQUENCY + p.channel * CHANNEL_WIDTH) - center_freq
+        if abs(f_rel) > fs / 2 - CHANNEL_WIDTH / 2:
+            # out of the captured bandwidth: a real front end's anti-alias
+            # filter removes it; synthesizing it would alias in-band
+            continue
         bb = gfsk_baseband(p.bits, sps, h_index=h_index)
         s0 = p.start_sample
         seg = slice(s0, min(s0 + len(bb), n_samples))
         m = seg.stop - seg.start
         if m <= 0:
             continue
-        f_rel = (BASE_FREQUENCY + p.channel * CHANNEL_WIDTH) - center_freq
         carrier = np.exp(2j * np.pi * f_rel / fs * n_idx[seg])
         x[seg] += (p.amplitude * bb[:m] * carrier).astype(np.complex64)
     return x
