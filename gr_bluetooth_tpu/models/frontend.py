@@ -93,7 +93,16 @@ class FrontEnd:
     # ------------------------------------------------------------ device
 
     def device_step(self, x):
-        """Jitted pipeline on one block of wideband IQ (complex64, (N,))."""
+        """Jitted pipeline on one block of wideband IQ.
+
+        Accepts complex64 (N,) host arrays or pre-split (2, N) float32
+        planes.  The host<->device boundary is always real-valued: the TPU
+        runtime rejects complex buffers in transfers (UNIMPLEMENTED), and
+        planes are the idiomatic layout anyway.
+        """
+        x = np.asarray(x)
+        if np.iscomplexobj(x):
+            x = np.stack([x.real, x.imag]).astype(np.float32)
         return self._jit_step(jnp.asarray(x))
 
     # ------------------------------------------------------------ host
@@ -155,15 +164,13 @@ class FrontEnd:
 
 @partial(jax.jit, static_argnames=("decim", "sps", "ch_sps", "demod_gain",
                                    "n_sym", "slot_len", "max_ac_errors"))
-def _device_step(x, kernel, rot_q, on_w, off_w, *, decim, sps, ch_sps,
+def _device_step(x_ri, kernel, rot_q, on_w, off_w, *, decim, sps, ch_sps,
                  demod_gain, n_sym, slot_len, max_ac_errors):
-    x = x.astype(jnp.complex64)
-    x_ri = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)[None]
-    yr, yi = channelizer._channelize_impl(x_ri, kernel, rot_q, 0,
+    yr, yi = channelizer._channelize_impl(x_ri[None], kernel, rot_q, 0,
                                           decim=decim, sps=sps)
     d = demod.quadrature_demod(yr, yi, demod_gain)
     _, bits = demod.recover_symbols(d, ch_sps, n_sym)
-    snr_db, _, _ = snr._slot_snr_impl(x, on_w, off_w, slot_len)
+    snr_db, _, _ = snr._slot_snr_impl(x_ri, on_w, off_w, slot_len)
     hits, err, lapv = detect._classic_detect_impl(
         bits.astype(jnp.float32), jnp.asarray(detect._A68),
         jnp.asarray(detect._C68v), max_ac_errors, 2)

@@ -70,10 +70,13 @@ def make_snr_weights(bank: ChannelBank) -> SnrWeights:
 
 
 @partial(jax.jit, static_argnames=("slot_len",))
-def _slot_snr_impl(x, on_w, off_w, slot_len: int):
-    n_slots = x.shape[0] // slot_len
-    xs = x[: n_slots * slot_len].reshape(n_slots, slot_len)
-    X = jnp.fft.fft(xs)
+def _slot_snr_impl(x_ri, on_w, off_w, slot_len: int):
+    """x_ri: (2, N) float32 IQ planes.  Complex only ever exists as an
+    intermediate: the TPU runtime does not support complex buffers at the
+    host<->device boundary (transfers/parameters), only inside programs."""
+    n_slots = x_ri.shape[1] // slot_len
+    xs = x_ri[:, : n_slots * slot_len].reshape(2, n_slots, slot_len)
+    X = jnp.fft.fft(jax.lax.complex(xs[0], xs[1]))
     P = (jnp.real(X) ** 2 + jnp.imag(X) ** 2).astype(jnp.float32)
     scale = 1.0 / (slot_len * slot_len)
     on = (P @ on_w) * scale
@@ -84,6 +87,10 @@ def _slot_snr_impl(x, on_w, off_w, slot_len: int):
 
 
 def slot_snr(x, weights: SnrWeights):
-    """x: complex wideband block; returns (snr_db, on, off), each (S, C)."""
+    """x: complex wideband block (host) or (2, N) float32 planes;
+    returns (snr_db, on, off), each (S, C)."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        x = np.stack([x.real, x.imag]).astype(np.float32)
     return _slot_snr_impl(jnp.asarray(x), jnp.asarray(weights.on_w),
                           jnp.asarray(weights.off_w), weights.slot_len)
