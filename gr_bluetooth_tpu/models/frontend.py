@@ -1,15 +1,23 @@
-"""Streaming wideband front end: blocks of IQ -> symbols + SNR + AC candidates.
+"""Streaming wideband front end: blocks of IQ -> compact hit tables.
 
 Inversion of the reference's per-slot control flow (multi_*_impl::work
 re-demodulates a 5-slot history window for every channel, every slot —
 lib/multi_sniffer_impl.cc:82-166): here long IQ blocks flow through the
-jitted channelize/demod/detect pipeline once, with a 5-slot lookahead overlap
-so packets that start near the end of a block are fully decodable.  Hits are
-extracted once on device and assembled into packet candidates on host.
+jitted channelize/demod/detect pipeline once, with a 5-slot lookahead
+overlap so packets that start near the end of a block are fully decodable.
 
-Per-block work: B+LOOKAHEAD slots of wideband IQ -> (C, n_sym) hard symbols,
-(S, C) slot SNR, dense AC candidate mask.  Hits within the first B slots are
-reported; the stream then advances exactly B slots (reference advances 1).
+Everything stays on device until the very end: the dense per-offset
+detection masks are reduced *on device* to a fixed-size hit table
+(channel, offset, LAP, errors) plus gathered per-hit symbol windows, so a
+block's host traffic is a few hundred KB regardless of bandwidth — the
+full (C, n_sym) tensors never cross the (slow) host link.
+
+Per-block device work: B+LOOKAHEAD slots of wideband IQ ->
+    channelize (PFB) -> GFSK demod + timing recovery -> slicer
+    -> slot SNR -> dense AC detect (+ LE AA detect) -> squelch gate
+    -> top-K hit extraction -> per-hit window gather.
+Hits within the first B slots are reported; the stream advances B slots
+(the reference advances 1).
 """
 from __future__ import annotations
 
@@ -21,35 +29,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (DEFAULT_SNR_DB, SYMBOLS_AC_SHORT, SYMBOLS_FOR_HISTORY,
-                         SYMBOLS_PER_SLOT)
-from ..ops import channelizer, demod, detect, snr
+                         SYMBOLS_LE_PREAMBLE_AA, SYMBOLS_PER_SLOT)
+from ..core.le_tables import freq2index
+from ..ops import channelizer, demod, detect, pfb, snr
 from ..utils.log import get_logger
 
-__all__ = ["FrontEnd", "Hit", "BlockResult"]
+__all__ = ["FrontEnd", "Hit", "LeHit", "BlockResult"]
 
 log = get_logger("frontend")
 
-LOOKAHEAD_SLOTS = 5  # max packet length
+LOOKAHEAD_SLOTS = 5      # max packet length
+WIN_SYMBOLS = 3200       # per-hit symbol window (>= 3125, lane-aligned)
+LE_WIN_SYMBOLS = 512     # per-LE-hit window (>= 376 + header margin)
 
 
 @dataclass(frozen=True)
 class Hit:
-    """One access-code candidate."""
+    """One classic access-code candidate."""
     channel: int          # BR channel number
-    chan_idx: int         # row in the bits array
+    chan_idx: int         # row in the channel bank
     clkn: int             # native slot clock at packet start
-    sym_offset: int       # symbol offset within the block's bit stream
+    sym_offset: int       # raw symbol offset within the block's bit stream
     lap: int
     errors: int
     snr_db: float
+    win_row: int          # row in BlockResult.windows
+
+
+@dataclass(frozen=True)
+class LeHit:
+    """One LE access-address candidate."""
+    channel: int          # BR channel grid number (freq = 2402 + ch MHz)
+    freq: float
+    index: int            # LE channel index 0..39
+    clkn: int
+    sym_offset: int
+    distance: int
+    snr_db: float
+    win_row: int          # row in BlockResult.le_windows
 
 
 @dataclass
 class BlockResult:
     slot_base: int              # clkn of the block's first slot
-    bits: np.ndarray            # (C, n_sym) int8 hard symbols
     snr_db: np.ndarray          # (S, C) per-slot SNR
-    hits: list                  # list[Hit], ordered by (offset)
+    hits: list                  # list[Hit], ordered by offset
+    le_hits: list               # list[LeHit], ordered by offset
+    windows: np.ndarray         # (K, WIN_SYMBOLS) int8 symbol windows
+    le_windows: np.ndarray      # (K_le, LE_WIN_SYMBOLS) int8
     n_slots: int                # slots advanced by this block
 
 
@@ -57,13 +84,24 @@ class FrontEnd:
     def __init__(self, sample_rate: float, center_freq: float,
                  squelch_threshold: float = DEFAULT_SNR_DB,
                  block_slots: int = 16, max_ac_errors: int = 6,
-                 use_squelch: bool = True):
-        self.bank = channelizer.make_bank(sample_rate, center_freq)
-        self.weights = snr.make_snr_weights(self.bank)
+                 use_squelch: bool = True, enable_le: bool = False):
+        # polyphase DFT filterbank for even samples/symbol (the common and
+        # fast path: ~ntaps MACs/sample + one small matmul), dense strided
+        # conv bank for odd rates (same prototype filter, same outputs)
+        sps = int(round(sample_rate / 1e6))
+        if sps >= 2 and sps % 2 == 0:
+            self.bank = pfb.make_pfb_bank(sample_rate, center_freq)
+            self.snr_consts = snr.make_stream_snr_consts(self.bank)
+            self.weights = None
+        else:
+            self.bank = channelizer.make_bank(sample_rate, center_freq)
+            self.snr_consts = None
+            self.weights = snr.make_snr_weights(self.bank)
         self.squelch = squelch_threshold
         self.use_squelch = use_squelch
         self.block_slots = block_slots
         self.max_ac_errors = max_ac_errors
+        self.enable_le = enable_le
         b = self.bank
         self.samples_per_slot = SYMBOLS_PER_SLOT * b.sps
         # wideband samples consumed per block step
@@ -74,21 +112,61 @@ class FrontEnd:
         self.block_samples = self.step_samples + self.overlap_samples
         self.n_sym = (self.block_slots + LOOKAHEAD_SLOTS) * SYMBOLS_PER_SLOT
         # VALID convolution + demod make the bit stream LEAD the input by the
-        # filter group delay: symbol t in `bits` sits at wideband sample
-        # ~ t*sps + (ntaps-1)/2 + decim.  Correct when attributing a
+        # filter group delay: symbol t in the bit stream sits at wideband
+        # sample ~ t*sps + (ntaps-1)/2 + decim.  Correct when attributing a
         # detection offset to a slot / clkn (the reference's per-slot work()
         # has no such skew because it re-filters per slot with set_history).
         self.delay_sym = int(round(((b.ntaps - 1) / 2 + b.decim) / b.sps))
 
+        self.max_hits = max(128, 8 * block_slots)
+        self.max_le_hits = max(64, 4 * block_slots)
+
+        # LE rows: bank channels sitting on the LE 2 MHz grid
+        self.le_rows = [(i, ch, freq2index(2402e6 + ch * 1e6))
+                        for i, ch in enumerate(b.channels)
+                        if freq2index(2402e6 + ch * 1e6) >= 0]
+
+        consts = dict(
+            A68=jnp.asarray(detect._A68), C68v=jnp.asarray(detect._C68v),
+        )
+        if self.enable_le and self.le_rows:
+            idx = [r[2] for r in self.le_rows]
+            white, aa_on, max_dist = detect.le_row_consts(idx)
+            consts.update(le_rows=jnp.asarray(
+                              np.array([r[0] for r in self.le_rows],
+                                       dtype=np.int32)),
+                          le_white=jnp.asarray(white),
+                          le_aa_on=jnp.asarray(aa_on),
+                          le_max_dist=jnp.asarray(max_dist))
+        if isinstance(b, pfb.PfbBank):
+            sc = self.snr_consts
+            consts.update(h0=jnp.asarray(b.h0), h1=jnp.asarray(b.h1),
+                          dft_c=jnp.asarray(b.dft_c),
+                          dft_s=jnp.asarray(b.dft_s),
+                          bin_odd=jnp.asarray(b.bin_odd),
+                          probe_re=jnp.asarray(sc.taps_re),
+                          probe_im=jnp.asarray(sc.taps_im))
+            snr_static = dict(slot_ch=sc.slot_ch, kappa=sc.kappa,
+                              slot_len=None)
+        else:
+            consts.update(kernel=jnp.asarray(b.kernel),
+                          rot_q=jnp.asarray(b.rot_q),
+                          on_w=jnp.asarray(self.weights.on_w),
+                          off_w=jnp.asarray(self.weights.off_w))
+            snr_static = dict(slot_ch=None, kappa=None,
+                              slot_len=self.weights.slot_len)
+
         self._jit_step = partial(
-            _device_step,
-            kernel=jnp.asarray(b.kernel), rot_q=jnp.asarray(b.rot_q),
-            on_w=jnp.asarray(self.weights.on_w),
-            off_w=jnp.asarray(self.weights.off_w),
+            _device_step, **consts,
+            is_pfb=isinstance(b, pfb.PfbBank),
             decim=b.decim, sps=b.sps, ch_sps=b.ch_sps,
             demod_gain=b.demod_gain, n_sym=self.n_sym,
-            slot_len=self.weights.slot_len,
-            max_ac_errors=max_ac_errors)
+            **snr_static,
+            max_ac_errors=max_ac_errors,
+            delay_sym=self.delay_sym,
+            squelch=(float(squelch_threshold) if use_squelch else None),
+            max_hits=self.max_hits, max_le_hits=self.max_le_hits,
+            with_le=bool(self.enable_le and self.le_rows))
 
     # ------------------------------------------------------------ device
 
@@ -108,70 +186,174 @@ class FrontEnd:
     # ------------------------------------------------------------ host
 
     def process_block(self, x: np.ndarray, slot_base: int) -> BlockResult:
-        bits, snr_db, hits_m, err, lapv = self.device_step(x)
-        bits = np.asarray(bits)
+        (snr_db, n_hits, hit_tab, windows,
+         n_le, le_tab, le_windows) = self.device_step(x)
         snr_db = np.asarray(snr_db)
-        hits_m = np.asarray(hits_m)
-        err = np.asarray(err)
-        lapv = np.asarray(lapv)
+        hit_tab = np.asarray(hit_tab)
+        windows = np.asarray(windows)
+        n_hits = min(int(n_hits), hit_tab.shape[0])
 
-        hits: list[Hit] = []
         limit = self.block_slots * SYMBOLS_PER_SLOT
-        cs, ts = np.nonzero(hits_m)
-        last_end = {}
-        for c, t in zip(cs, ts):
-            tc = int(t) + self.delay_sym   # group-delay-corrected position
+        hits: list[Hit] = []
+        last_end: dict[int, int] = {}
+        order = np.argsort(hit_tab[:n_hits, 1], kind="stable")
+        for k in order:
+            c, t, lap, err = (int(v) for v in hit_tab[k])
             if t >= limit:
-                continue               # next block will own this hit (it
-                                       # re-sees raw offsets >= limit at t-limit)
+                continue               # next block re-sees offsets >= limit
             if t < last_end.get(c, 0):
                 continue               # inside a previous AC (sniff skip rule)
+            tc = t + self.delay_sym    # group-delay-corrected position
             slot = tc // SYMBOLS_PER_SLOT
             s_db = float(snr_db[slot, c]) if slot < snr_db.shape[0] else 0.0
-            if self.use_squelch and s_db < self.squelch:
-                continue
-            last_end[c] = int(t) + SYMBOLS_AC_SHORT
-            hits.append(Hit(channel=self.bank.channels[c], chan_idx=int(c),
+            last_end[c] = t + SYMBOLS_AC_SHORT
+            hits.append(Hit(channel=self.bank.channels[c], chan_idx=c,
                             clkn=(slot_base + slot) & 0x7FFFFFF,
-                            sym_offset=int(t), lap=int(lapv[c, t]),
-                            errors=int(err[c, t]), snr_db=s_db))
-        hits.sort(key=lambda h: h.sym_offset)
-        return BlockResult(slot_base=slot_base, bits=bits, snr_db=snr_db,
-                           hits=hits, n_slots=self.block_slots)
+                            sym_offset=t, lap=lap, errors=err,
+                            snr_db=s_db, win_row=int(k)))
+
+        le_hits: list[LeHit] = []
+        if n_le is not None:
+            le_tab = np.asarray(le_tab)
+            le_windows = np.asarray(le_windows)
+            n_le = min(int(n_le), le_tab.shape[0])
+            le_last: dict[int, int] = {}
+            le_order = np.argsort(le_tab[:n_le, 1], kind="stable")
+            for k in le_order:
+                r, t, dist = (int(v) for v in le_tab[k])
+                if t >= limit:
+                    continue
+                if t < le_last.get(r, 0):
+                    continue
+                row, ch, index = self.le_rows[r]
+                tc = t + self.delay_sym
+                slot = tc // SYMBOLS_PER_SLOT
+                s_db = float(snr_db[slot, row]) if slot < snr_db.shape[0] else 0.0
+                le_last[r] = t + SYMBOLS_LE_PREAMBLE_AA
+                le_hits.append(LeHit(channel=ch, freq=2402e6 + ch * 1e6,
+                                     index=index,
+                                     clkn=(slot_base + slot) & 0x7FFFFFF,
+                                     sym_offset=t, distance=dist,
+                                     snr_db=s_db, win_row=int(k)))
+        else:
+            le_windows = np.zeros((0, LE_WIN_SYMBOLS), np.int8)
+
+        return BlockResult(slot_base=slot_base, snr_db=snr_db, hits=hits,
+                           le_hits=le_hits, windows=windows,
+                           le_windows=le_windows, n_slots=self.block_slots)
 
     def packet_symbols(self, res: BlockResult, hit: Hit) -> np.ndarray:
         """Symbol window for a hit (up to 5 slots), for packet decode."""
-        end = min(hit.sym_offset + SYMBOLS_FOR_HISTORY, res.bits.shape[1])
-        return res.bits[hit.chan_idx, hit.sym_offset:end]
+        n = min(WIN_SYMBOLS, self.n_sym - hit.sym_offset)
+        return res.windows[hit.win_row, :n]
+
+    def le_packet_symbols(self, res: BlockResult, hit: LeHit) -> np.ndarray:
+        n = min(LE_WIN_SYMBOLS, self.n_sym - hit.sym_offset)
+        return res.le_windows[hit.win_row, :n]
 
     def stream(self, samples: np.ndarray, start_clkn: int = 0):
         """Iterate BlockResults over a long capture (host numpy input)."""
         samples = np.asarray(samples)
+        if np.iscomplexobj(samples):
+            samples = np.stack([samples.real, samples.imag]).astype(np.float32)
         pos = 0
         slot_base = start_clkn
-        while pos + self.block_samples <= len(samples):
-            yield self.process_block(samples[pos:pos + self.block_samples],
+        n = samples.shape[1]
+        while pos + self.block_samples <= n:
+            yield self.process_block(samples[:, pos:pos + self.block_samples],
                                      slot_base)
             pos += self.step_samples
             slot_base += self.block_slots
         # tail: pad the final partial block with zeros
-        if pos < len(samples):
-            tail = np.zeros(self.block_samples, dtype=np.complex64)
-            n = len(samples) - pos
-            tail[:n] = samples[pos:]
+        if pos < n:
+            tail = np.zeros((2, self.block_samples), dtype=np.float32)
+            tail[:, :n - pos] = samples[:, pos:]
             yield self.process_block(tail, slot_base)
 
 
-@partial(jax.jit, static_argnames=("decim", "sps", "ch_sps", "demod_gain",
-                                   "n_sym", "slot_len", "max_ac_errors"))
-def _device_step(x_ri, kernel, rot_q, on_w, off_w, *, decim, sps, ch_sps,
-                 demod_gain, n_sym, slot_len, max_ac_errors):
-    yr, yi = channelizer._channelize_impl(x_ri[None], kernel, rot_q, 0,
-                                          decim=decim, sps=sps)
+def _extract_hits(mask, max_hits, payload_cols):
+    """Reduce a dense (C, n) mask to a fixed-size table on device.
+
+    Returns (count, tab) where tab is (max_hits, 2 + len(payload_cols))
+    int32 rows [chan, offset, *payload] in channel-major order; unused rows
+    are filled with -1.
+    """
+    C, n = mask.shape
+    flat = mask.reshape(-1)
+    count = flat.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=max_hits, fill_value=0)
+    valid = jnp.arange(max_hits, dtype=jnp.int32) < count
+    chan = (idx // n).astype(jnp.int32)
+    off = (idx % n).astype(jnp.int32)
+    cols = [chan, off] + [p.reshape(-1)[idx].astype(jnp.int32)
+                          for p in payload_cols]
+    tab = jnp.stack(cols, axis=1)
+    tab = jnp.where(valid[:, None], tab, -1)
+    return count, tab, chan, off, valid
+
+
+def _gather_windows(bits, chan, off, valid, width):
+    """(K,) channel/offset -> (K, width) int8 symbol windows, zero-padded."""
+    n_sym = bits.shape[1]
+    rows = bits[jnp.clip(chan, 0, bits.shape[0] - 1)]          # (K, n_sym)
+    idx = off[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    ok = (idx < n_sym) & valid[:, None]
+    win = jnp.take_along_axis(rows, jnp.clip(idx, 0, n_sym - 1), axis=1)
+    return jnp.where(ok, win, 0).astype(jnp.int8)
+
+
+def _squelch_gate(snr_db, n, delay_sym, squelch):
+    """(S, C) slot SNR -> (C, n) per-offset boolean gate."""
+    S, C = snr_db.shape
+    t = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.clip((t + delay_sym) // SYMBOLS_PER_SLOT, 0, S - 1)
+    return (snr_db.T[:, slot] >= squelch)                      # (C, n)
+
+
+@partial(jax.jit, static_argnames=(
+    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "slot_len",
+    "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch", "max_hits",
+    "max_le_hits", "with_le"))
+def _device_step(x_ri, *, A68, C68v,
+                 h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
+                 probe_re=None, probe_im=None,
+                 kernel=None, rot_q=None, on_w=None, off_w=None,
+                 le_rows=None, le_white=None, le_aa_on=None, le_max_dist=None,
+                 is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
+                 slot_ch, kappa, max_ac_errors, delay_sym, squelch, max_hits,
+                 max_le_hits, with_le):
+    if is_pfb:
+        # streams carry one extra probe row above the top channel
+        yr, yi = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, decim)
+        snr_db, _, _ = snr._stream_snr_impl(yr, yi, probe_re, probe_im,
+                                            slot_ch=slot_ch, kappa=kappa)
+        yr, yi = yr[:-1], yi[:-1]
+    else:
+        yr, yi = channelizer._channelize_impl(x_ri[None], kernel, rot_q, 0,
+                                              decim=decim, sps=sps)
+        snr_db, _, _ = snr._slot_snr_impl(x_ri, on_w, off_w, slot_len)
     d = demod.quadrature_demod(yr, yi, demod_gain)
     _, bits = demod.recover_symbols(d, ch_sps, n_sym)
-    snr_db, _, _ = snr._slot_snr_impl(x_ri, on_w, off_w, slot_len)
+
     hits, err, lapv = detect._classic_detect_impl(
-        bits.astype(jnp.float32), jnp.asarray(detect._A68),
-        jnp.asarray(detect._C68v), max_ac_errors, 2)
-    return bits, snr_db, hits, err, lapv
+        bits.astype(jnp.float32), A68, C68v, max_ac_errors, 2)
+    if squelch is not None:
+        hits = hits & _squelch_gate(snr_db, hits.shape[1], delay_sym, squelch)
+    n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [lapv, err])
+    tab = tab[:, [0, 1, 2, 3]]
+    windows = _gather_windows(bits, chan, off, valid, WIN_SYMBOLS)
+
+    if with_le:
+        le_bits = bits[le_rows].astype(jnp.float32)
+        le_hits, le_dist = detect._le_detect_batch_impl(
+            le_bits, le_white, le_aa_on, le_max_dist)
+        if squelch is not None:
+            gate = _squelch_gate(snr_db, le_hits.shape[1], delay_sym, squelch)
+            le_hits = le_hits & gate[le_rows]
+        n_le, le_tab, le_chan, le_off, le_valid = _extract_hits(
+            le_hits, max_le_hits, [le_dist])
+        le_windows = _gather_windows(bits[le_rows], le_chan, le_off,
+                                     le_valid, LE_WIN_SYMBOLS)
+    else:
+        n_le, le_tab, le_windows = None, None, None
+    return snr_db, n_hits, tab, windows, n_le, le_tab, le_windows

@@ -19,10 +19,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import DEFAULT_SNR_DB, GIAC, LIAC, SYMBOLS_LE_PREAMBLE_AA
-from ..core.le_tables import freq2index
+from ..constants import DEFAULT_SNR_DB, GIAC, LIAC
 from ..core.packets import ClassicPacket, LePacket
-from ..ops import detect
 from ..utils.log import EventBus, bus as default_bus, get_logger
 from .frontend import FrontEnd
 from .piconet import BasicRatePiconet, LowEnergyPiconet
@@ -31,8 +29,6 @@ __all__ = ["Sniffer"]
 
 log = get_logger("sniffer")
 
-LE_MIN_SYMBOLS = 400  # enough for preamble+AA+header+max adv PDU
-
 
 class Sniffer:
     def __init__(self, sample_rate: float, center_freq: float,
@@ -40,7 +36,7 @@ class Sniffer:
                  writer=None, bus: EventBus | None = None,
                  enable_le: bool = True, **fe_kwargs):
         self.fe = FrontEnd(sample_rate, center_freq, squelch_threshold,
-                           max_ac_errors=6, **fe_kwargs)
+                           max_ac_errors=6, enable_le=enable_le, **fe_kwargs)
         self.writer = writer
         self.bus = bus or default_bus
         self.enable_le = enable_le
@@ -48,10 +44,6 @@ class Sniffer:
         self.low_energy_piconets: dict[int, LowEnergyPiconet] = {}
         self.decoded: list[ClassicPacket] = []
         self.le_packets: list[LePacket] = []
-        # LE channels present in the bank (2 MHz grid)
-        self._le_rows = [(i, ch, freq2index(2402e6 + ch * 1e6))
-                         for i, ch in enumerate(self.fe.bank.channels)
-                         if freq2index(2402e6 + ch * 1e6) >= 0]
 
     # ------------------------------------------------------------ classic
 
@@ -151,35 +143,19 @@ class Sniffer:
     # ------------------------------------------------------------ LE
 
     def _handle_le(self, res):
-        limit = res.n_slots * 625
-        for row, ch, index in self._le_rows:
-            bits = res.bits[row]
-            hits_m, dist = detect.le_detect(bits, index)
-            hits_m = np.asarray(hits_m)
-            offs = np.nonzero(hits_m[:limit])[0]
-            last_end = -1
-            for t in offs:
-                if t < last_end:
-                    continue
-                slot = int(t) // 625
-                s_db = float(res.snr_db[slot, row]) if slot < res.snr_db.shape[0] else 0.0
-                if self.fe.use_squelch and s_db < self.fe.squelch:
-                    continue
-                last_end = int(t) + SYMBOLS_LE_PREAMBLE_AA
-                sym = bits[int(t): int(t) + LE_MIN_SYMBOLS]
-                pkt = LePacket(symbols=sym, freq=2402e6 + ch * 1e6,
-                               clkn=(res.slot_base + slot) & 0x7FFFFFF,
-                               snr=s_db)
-                self.le_packets.append(pkt)
-                self.bus.emit("le_seen", clkn=pkt.clkn, index=pkt.index,
-                              aa=pkt.aa, pdu_type=pkt.pdu_type,
-                              length=pkt.length)
-                log.info("time %6d, snr=%.1f, %s", pkt.clkn, s_db,
-                         pkt.summary().splitlines()[0])
-                aa = pkt.aa
-                if aa not in self.low_energy_piconets:
-                    self.low_energy_piconets[aa] = LowEnergyPiconet(aa=aa)
-                self.low_energy_piconets[aa].enqueue(pkt)
+        for h in res.le_hits:
+            pkt = LePacket(symbols=self.fe.le_packet_symbols(res, h),
+                           freq=h.freq, clkn=h.clkn, snr=h.snr_db)
+            self.le_packets.append(pkt)
+            self.bus.emit("le_seen", clkn=pkt.clkn, index=pkt.index,
+                          aa=pkt.aa, pdu_type=pkt.pdu_type,
+                          length=pkt.length)
+            log.info("time %6d, snr=%.1f, %s", pkt.clkn, h.snr_db,
+                     pkt.summary().splitlines()[0])
+            aa = pkt.aa
+            if aa not in self.low_energy_piconets:
+                self.low_energy_piconets[aa] = LowEnergyPiconet(aa=aa)
+            self.low_energy_piconets[aa].enqueue(pkt)
 
     # ------------------------------------------------------------ run
 

@@ -31,7 +31,19 @@ from ..constants import (BASE_FREQUENCY, CHANNEL_FILTER_CUTOFF,
                          CHANNEL_FILTER_TRANSITION, CHANNEL_WIDTH)
 from .filters import lowpass_taps
 
-__all__ = ["ChannelBank", "make_bank", "channelize"]
+__all__ = ["ChannelBank", "make_bank", "channelize", "select_channels"]
+
+
+def select_channels(fs: float, center_freq: float) -> tuple:
+    """BR channels fitting in bandwidth with >= 0.9 MHz margin
+    (multi_block.cc:305-324)."""
+    center = (center_freq - BASE_FREQUENCY) / CHANNEL_WIDTH
+    bw = fs / CHANNEL_WIDTH
+    low = max(0, int(center - bw / 2 + 0.45 + 1))
+    high = min(78, int(center + bw / 2 - 0.45))
+    if high < low:
+        raise ValueError("no BR channels fit in this bandwidth")
+    return tuple(range(low, high + 1))
 
 
 @dataclass(frozen=True)
@@ -60,15 +72,7 @@ def make_bank(fs: float, center_freq: float) -> ChannelBank:
         raise ValueError("center frequency must sit on the 1 MHz channel grid")
     decim = sps // 2
     ch_sps = sps / decim
-
-    # channel selection (multi_block.cc:305-324)
-    center = (center_freq - BASE_FREQUENCY) / CHANNEL_WIDTH
-    bw = fs / CHANNEL_WIDTH
-    low = max(0, int(center - bw / 2 + 0.45 + 1))
-    high = min(78, int(center + bw / 2 - 0.45))
-    if high < low:
-        raise ValueError("no BR channels fit in this bandwidth")
-    channels = tuple(range(low, high + 1))
+    channels = select_channels(fs, center_freq)
 
     taps = lowpass_taps(1.0, fs, CHANNEL_FILTER_CUTOFF, CHANNEL_FILTER_TRANSITION)
     T = len(taps)

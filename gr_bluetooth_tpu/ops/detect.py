@@ -127,3 +127,58 @@ def le_detect(bits, index: int):
     (lib/packet_impl.cc:1452-1527)."""
     bits_f = jnp.asarray(bits).astype(jnp.float32).reshape(-1)
     return _le_detect_one(bits_f, index, index >= 37)
+
+
+# ------------------------------------------------------- LE, batched rows
+
+def le_row_consts(indices) -> tuple:
+    """Per-row constants for _le_detect_batch_impl: (white (R,16),
+    aa_on (R,1), max_dist (R,1)) for LE channel indices `indices`."""
+    white = np.stack([_le_dewhiten_header_bits(i) for i in indices])
+    aa_on = np.array([[1.0 if i >= 37 else 0.0] for i in indices],
+                     dtype=np.float32)
+    max_dist = np.array([[2 if i >= 37 else 0] for i in indices],
+                        dtype=np.int32)
+    return white.astype(np.float32), aa_on, max_dist
+
+
+def _le_detect_batch_impl(bits_f, white, aa_on, max_dist):
+    """All LE rows at once (inlined into the frontend device step).
+
+    bits_f: (R, T) f32 symbols; white: (R, 16) f32 whitening word per row;
+    aa_on: (R, 1) f32 1.0 on advertising rows; max_dist: (R, 1) int32.
+    Returns (hits bool, dist int32), each (R, T-55).
+
+    Field byte values are computed as shifted multiply-adds over the bit
+    planes (VPU, fused) instead of materializing a (R, n, 56) window
+    tensor; distance lookups are vectorized gathers into the generated
+    tables (same tables the reference hard-codes,
+    lib/packet_impl.cc:1316-1444).
+    """
+    R, T = bits_f.shape
+    n = T - 56 + 1
+
+    def field(start, nbits, dewhiten_from=None):
+        v = jnp.zeros((R, n), jnp.float32)
+        for j in range(nbits):
+            b = bits_f[:, start + j: start + j + n]
+            if dewhiten_from is not None:
+                w = white[:, dewhiten_from + j][:, None]
+                b = jnp.abs(b - w)
+            v = v + b * float(1 << j)
+        return v.astype(jnp.int32)
+
+    pre_d = jnp.asarray(LE_PREAMBLE_DISTANCE, jnp.int32)[field(0, 9)]
+    hdr_l = field(40, 8, dewhiten_from=0)
+    hdr_m = field(48, 8, dewhiten_from=8)
+    acc_d = (jnp.asarray(ACCESS_HEADER_DISTANCE[0], jnp.int32)[hdr_l] +
+             jnp.asarray(ACCESS_HEADER_DISTANCE[1], jnp.int32)[hdr_m])
+    dat_d = (jnp.asarray(DATA_HEADER_DISTANCE[0], jnp.int32)[hdr_l] +
+             jnp.asarray(DATA_HEADER_DISTANCE[1], jnp.int32)[hdr_m])
+    adv = aa_on > 0.5
+    hdr_d = jnp.where(adv, acc_d, dat_d)
+    aa_d = jnp.zeros((R, n), jnp.int32)
+    for k in range(4):
+        aa_d = aa_d + jnp.asarray(AA_DISTANCE[k], jnp.int32)[field(8 + 8 * k, 8)]
+    dist = pre_d + hdr_d + jnp.where(adv, aa_d, 0)
+    return dist <= max_dist, dist

@@ -1,0 +1,152 @@
+"""Oversampled polyphase DFT filterbank channelizer.
+
+The reference runs one freq_xlating FIR per channel at the full input rate
+(lib/multi_block.cc:180-228, 305-342); cost scales as fs * ntaps * channels
+and reaches ~0.5 TMAC per signal-second at the full 79-channel band.  The
+TPU-native design factors the uniform filterbank the classic way:
+
+    y_c[n] = e^{-j2pi c nD/M} * DFT_M{ u_r[n] }_c
+    u_r[n] = sum_q h[qM + r] x[nD + qM + r]
+
+with M = fs / 1 MHz branches and D = M/2 decimation (2 samples/symbol out,
+like the reference's decim = sps/2).  Costs split into
+
+  * branch FIRs: ntaps MACs per input sample, evaluated as Q shifted
+    fused multiply-adds over the (2, n, D) polyphase view (VPU work,
+    XLA-fusable, no gathers), and
+  * the M-point DFT across branches as two (n, M) @ (M, C) real matmuls
+    (MXU work; bin selection for the covered BR channels is folded into
+    the DFT matrix columns).
+
+~10x fewer FLOPs than the equivalent dense strided conv, with identical
+output (same prototype low-pass, same DDC phase convention) — parity is
+tested against ops.channelizer on small rates.
+
+Because D = M/2, the per-output rotator e^{-j2pi c nD/M} collapses to
+(-1)^{c n}: a sign flip on odd bins at odd frames.
+
+The prototype filter is the reference's Hann low-pass design
+(500 kHz cutoff / 300 kHz transition, multi_block.cc:62-69).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (BASE_FREQUENCY, CHANNEL_FILTER_CUTOFF,
+                         CHANNEL_FILTER_TRANSITION, CHANNEL_WIDTH)
+from .channelizer import select_channels
+from .filters import lowpass_taps
+
+__all__ = ["PfbBank", "make_pfb_bank", "pfb_channelize"]
+
+
+@dataclass(frozen=True)
+class PfbBank:
+    fs: float
+    center_freq: float
+    sps: int                      # wideband samples per symbol = M branches
+    decim: int                    # D = M/2
+    ch_sps: float                 # always 2.0
+    channels: tuple               # BR channel numbers covered
+    ntaps: int                    # prototype length before padding
+    h0: np.ndarray                # (Q, D) branch taps, even half-frames
+    h1: np.ndarray                # (Q, D) branch taps, odd half-frames
+    dft_c: np.ndarray             # (M, C) cos DFT columns for covered bins
+    dft_s: np.ndarray             # (M, C) sin DFT columns for covered bins
+    bin_odd: np.ndarray           # (C,) float32: 1.0 where DFT bin is odd
+    demod_gain: float
+
+    @property
+    def n_channels(self) -> int:
+        return len(self.channels)
+
+
+def make_pfb_bank(fs: float, center_freq: float) -> PfbBank:
+    sps = int(round(fs / 1e6))
+    if abs(fs - sps * 1e6) > 1e-3 or sps < 2:
+        raise ValueError("sample rate must be an integer multiple of 1 Msps >= 2")
+    if sps % 2:
+        raise ValueError("polyphase bank requires an even samples/symbol; "
+                         "use the conv bank for odd rates")
+    if abs((center_freq / 1e6) - round(center_freq / 1e6)) > 1e-9:
+        raise ValueError("center frequency must sit on the 1 MHz channel grid")
+    M = sps
+    D = M // 2
+
+    channels = select_channels(fs, center_freq)
+    # one extra "probe row" above the top channel: the off-channel noise
+    # probe at f_c + 790 kHz (multi_block.cc:71-79, 336-340) sits at
+    # -210 kHz inside channel c+1's passband, so the SNR squelch reads it
+    # from the neighbor's stream (ops/snr.py) — rows = channels + [high+1]
+    probe_rows = channels + (channels[-1] + 1,)
+
+    taps = lowpass_taps(1.0, fs, CHANNEL_FILTER_CUTOFF,
+                        CHANNEL_FILTER_TRANSITION)
+    ntaps = len(taps)
+    Q = -(-ntaps // M)                                 # half-frames, ceil
+    h = np.zeros(Q * M, dtype=np.float64)
+    h[:ntaps] = taps
+    hm = h.reshape(Q, M)
+    h0 = hm[:, :D].astype(np.float32)                  # h[qM + p]
+    h1 = hm[:, D:].astype(np.float32)                  # h[qM + p + D]
+
+    C = len(probe_rows)
+    r = np.arange(M)
+    dft_c = np.zeros((M, C), dtype=np.float32)
+    dft_s = np.zeros((M, C), dtype=np.float32)
+    bin_odd = np.zeros(C, dtype=np.float32)
+    for i, ch in enumerate(probe_rows):
+        f_rel = BASE_FREQUENCY + ch * CHANNEL_WIDTH - center_freq
+        m = int(round(f_rel / 1e6)) % M                # DFT bin
+        ang = 2.0 * np.pi * m * r / M
+        dft_c[:, i] = np.cos(ang)
+        dft_s[:, i] = np.sin(ang)
+        bin_odd[i] = float(m & 1)
+    demod_gain = 2.0 / (np.pi / 2.0)                   # ch_sps / (pi/2)
+    return PfbBank(fs, center_freq, sps, D, 2.0, channels, ntaps,
+                   h0, h1, dft_c, dft_s, bin_odd, float(demod_gain))
+
+
+@partial(jax.jit, static_argnames=("D",))
+def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
+    """x_ri: (2, N) float32 IQ planes -> (yr, yi) each (C, n_frames).
+
+    Frame n covers input samples [nD, nD + 2QD): identical window placement
+    to the VALID strided conv, so downstream group-delay accounting is
+    unchanged.
+    """
+    Q = h0.shape[0]
+    n_x = x_ri.shape[1] // D
+    xp = x_ri[:, : n_x * D].reshape(2, n_x, D)         # xp[:, j, p] = x[jD+p]
+    n = n_x - 2 * Q
+    # branch FIRs as Q fused shifted multiply-adds (VPU)
+    v0 = jnp.zeros((2, n, D), jnp.float32)
+    v1 = jnp.zeros((2, n, D), jnp.float32)
+    for q in range(Q):
+        v0 = v0 + xp[:, 2 * q: 2 * q + n, :] * h0[q][None, None, :]
+        v1 = v1 + xp[:, 2 * q + 1: 2 * q + 1 + n, :] * h1[q][None, None, :]
+    u = jnp.concatenate([v0, v1], axis=-1)             # (2, n, M)
+    # M-point DFT across branches, bins pre-selected (MXU)
+    yr = u[0] @ dft_c + u[1] @ dft_s                   # (n, C)
+    yi = u[1] @ dft_c - u[0] @ dft_s
+    # rotator e^{-j pi c n} = (-1)^{cn}: flip odd bins at odd frames
+    n_odd = (jnp.arange(n, dtype=jnp.int32) & 1).astype(jnp.float32)
+    sign = 1.0 - 2.0 * (n_odd[:, None] * bin_odd[None, :])
+    return (yr * sign).T, (yi * sign).T
+
+
+def pfb_channelize(x, bank: PfbBank):
+    """x: complex (N,) host array or (2, N) float32 planes.
+    Returns (yr, yi) float32 (C, n_frames) decimated channel streams."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        x = np.stack([x.real, x.imag]).astype(np.float32)
+    return _pfb_impl(jnp.asarray(x), jnp.asarray(bank.h0),
+                     jnp.asarray(bank.h1), jnp.asarray(bank.dft_c),
+                     jnp.asarray(bank.dft_s), jnp.asarray(bank.bin_odd),
+                     bank.decim)

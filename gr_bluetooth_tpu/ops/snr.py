@@ -38,18 +38,14 @@ class SnrWeights:
 
 
 def _shifted_response(taps: np.ndarray, L: int, f_rel: float, fs: float) -> np.ndarray:
-    """|H(f - f_rel)|^2 sampled at the L FFT bins of rate fs."""
-    H = np.fft.fft(taps, L)
-    mag2 = np.abs(H) ** 2
-    shift_bins = f_rel / fs * L
-    k = int(round(shift_bins))
-    if abs(shift_bins - k) > 1e-6:
-        # non-integer bin shift: evaluate directly
-        f = np.fft.fftfreq(L, d=1.0 / fs)
-        t = np.arange(len(taps))
-        E = np.exp(-2j * np.pi * np.outer((f - f_rel) / fs, t))
-        return np.abs(E @ taps) ** 2
-    return np.roll(mag2, k)
+    """|H(f - f_rel)|^2 sampled at the L FFT bins of rate fs.
+
+    H(f_k - f_rel) = FFT{ h[t] e^{+j 2 pi f_rel t / fs} }[k] — exact for any
+    (fractional-bin) shift at O(L log L), instead of a dense (L, ntaps)
+    DTFT matrix which is ~13 GB at the full 79-channel band."""
+    t = np.arange(len(taps))
+    mod = taps * np.exp(2j * np.pi * (f_rel / fs) * t)
+    return np.abs(np.fft.fft(mod, L)) ** 2
 
 
 def make_snr_weights(bank: ChannelBank) -> SnrWeights:
@@ -94,3 +90,79 @@ def slot_snr(x, weights: SnrWeights):
         x = np.stack([x.real, x.imag]).astype(np.float32)
     return _slot_snr_impl(jnp.asarray(x), jnp.asarray(weights.on_w),
                           jnp.asarray(weights.off_w), weights.slot_len)
+
+
+# ------------------------------------------------- stream-based (PFB path)
+
+PROBE_STRIDE = 10                       # probe energy samples per slot: 125
+
+
+@dataclass(frozen=True)
+class StreamSnrConsts:
+    """Constants for the stream-based squelch (no FFT, no full-rate FIRs).
+
+    on-channel energy comes straight from the channel streams (that is the
+    reference's definition: mean |DDC output|^2, multi_block.cc:180-228).
+    The off-channel probe at f_c + 790 kHz (multi_block.cc:253-296) is
+    evaluated at -210 kHz inside *channel c+1's* stream: a short complex
+    band-pass at the 2 Msps channel rate instead of a 16k-tap FIR at the
+    full input rate.  `kappa` rescales the probe's equivalent noise
+    bandwidth to the reference's 22.5 kHz full-rate probe so the
+    on/off ratio (and the 10 dB squelch default) keeps the same meaning
+    on a flat noise floor.
+    """
+    slot_ch: int                  # channel-rate samples per slot
+    taps_re: np.ndarray           # (T,) probe band-pass, real part
+    taps_im: np.ndarray           # (T,) probe band-pass, imag part
+    kappa: float
+
+
+def make_stream_snr_consts(bank) -> StreamSnrConsts:
+    ch_fs = bank.fs / bank.decim
+    slot_ch = int(round(SYMBOLS_PER_SLOT * bank.ch_sps))
+    g = lowpass_taps(1.0, ch_fs, NOISE_FILTER_CUTOFF, NOISE_FILTER_TRANSITION)
+    t = np.arange(len(g))
+    theta = -2.0 * np.pi * ((NOISE_PROBE_OFFSET - CHANNEL_WIDTH) / ch_fs) * t
+    taps_re = (g * np.cos(theta)).astype(np.float32)
+    taps_im = (g * np.sin(theta)).astype(np.float32)
+    # reference probe: 22.5 kHz cut / 10 kHz transition at the full rate
+    h_ref = lowpass_taps(1.0, bank.fs, NOISE_FILTER_CUTOFF,
+                         NOISE_FILTER_TRANSITION)
+    h_ch = lowpass_taps(1.0, bank.fs, CHANNEL_FILTER_CUTOFF,
+                        CHANNEL_FILTER_TRANSITION)
+    # white-noise energies: reference off = sigma^2 sum h_ref^2 ; ours =
+    # sigma^2 sum h_ch^2 * sum g^2 (probe runs on the channelized stream)
+    kappa = float(np.sum(h_ref ** 2) /
+                  (np.sum(h_ch ** 2) * np.sum(g ** 2)))
+    return StreamSnrConsts(slot_ch, taps_re, taps_im, kappa)
+
+
+@partial(jax.jit, static_argnames=("slot_ch", "kappa"))
+def _stream_snr_impl(yr, yi, taps_re, taps_im, *, slot_ch: int, kappa: float):
+    """(C+1, n) channel streams (last row = probe row above the top
+    channel) -> (S, C) per-slot SNR in dB."""
+    Cp, n = yr.shape
+    C = Cp - 1
+    S = n // slot_ch
+    m = S * slot_ch
+    on = (yr[:C, :m] ** 2 + yi[:C, :m] ** 2).reshape(C, S, slot_ch).mean(-1)
+
+    # probe: shared band-pass on rows 1..C (neighbor of each channel),
+    # channels as conv batch, strided output for the per-slot mean
+    x = jnp.stack([yr[1:, :m], yi[1:, :m]], axis=1)        # (C, 2, m)
+    k = jnp.stack(
+        [jnp.stack([taps_re, -taps_im]),                   # probe real part
+         jnp.stack([taps_im, taps_re])])                   # probe imag part
+    p = jax.lax.conv_general_dilated(
+        x, k, window_strides=(PROBE_STRIDE,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)                # (C, 2, np)
+    pe = p[:, 0] ** 2 + p[:, 1] ** 2                       # (C, np)
+    per_slot = slot_ch // PROBE_STRIDE
+    Sp = min(S, pe.shape[1] // per_slot)
+    off = pe[:, : Sp * per_slot].reshape(C, Sp, per_slot).mean(-1)
+    off = jnp.pad(off, ((0, 0), (0, S - Sp)), mode="edge") * kappa
+
+    snr_db = 10.0 * (jnp.log10(jnp.maximum(on, 1e-30)) -
+                     jnp.log10(jnp.maximum(off, 1e-30)))
+    return snr_db.T, on.T, off.T                           # (S, C)
