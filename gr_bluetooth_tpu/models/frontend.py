@@ -188,6 +188,14 @@ class FrontEnd:
     def process_block(self, x: np.ndarray, slot_base: int) -> BlockResult:
         (snr_db, n_hits, hit_tab, windows,
          n_le, le_tab, le_windows) = self.device_step(x)
+        return self.assemble_block(snr_db, n_hits, hit_tab, windows,
+                                   n_le, le_tab, le_windows,
+                                   slot_base=slot_base)
+
+    def assemble_block(self, snr_db, n_hits, hit_tab, windows,
+                       n_le, le_tab, le_windows, *,
+                       slot_base: int) -> BlockResult:
+        """Host-side assembly of one device step's outputs into hits."""
         snr_db = np.asarray(snr_db)
         hit_tab = np.asarray(hit_tab)
         windows = np.asarray(windows)
@@ -236,20 +244,28 @@ class FrontEnd:
                                      sym_offset=t, distance=dist,
                                      snr_db=s_db, win_row=int(k)))
         else:
-            le_windows = np.zeros((0, LE_WIN_SYMBOLS), np.int8)
+            le_windows = np.zeros((0, LE_WIN_SYMBOLS // 8 + 1), np.uint8)
 
         return BlockResult(slot_base=slot_base, snr_db=snr_db, hits=hits,
                            le_hits=le_hits, windows=windows,
                            le_windows=le_windows, n_slots=self.block_slots)
 
+    @staticmethod
+    def _unpack_window(row: np.ndarray, sym_offset: int, n: int) -> np.ndarray:
+        bits = np.unpackbits(row, bitorder="little")
+        s = sym_offset % 8
+        return bits[s: s + n].astype(np.int8)
+
     def packet_symbols(self, res: BlockResult, hit: Hit) -> np.ndarray:
         """Symbol window for a hit (up to 5 slots), for packet decode."""
         n = min(WIN_SYMBOLS, self.n_sym - hit.sym_offset)
-        return res.windows[hit.win_row, :n]
+        return self._unpack_window(res.windows[hit.win_row],
+                                   hit.sym_offset, n)
 
     def le_packet_symbols(self, res: BlockResult, hit: LeHit) -> np.ndarray:
         n = min(LE_WIN_SYMBOLS, self.n_sym - hit.sym_offset)
-        return res.le_windows[hit.win_row, :n]
+        return self._unpack_window(res.le_windows[hit.win_row],
+                                   hit.sym_offset, n)
 
     def stream(self, samples: np.ndarray, start_clkn: int = 0):
         """Iterate BlockResults over a long capture (host numpy input)."""
@@ -274,32 +290,58 @@ class FrontEnd:
 def _extract_hits(mask, max_hits, payload_cols):
     """Reduce a dense (C, n) mask to a fixed-size table on device.
 
-    Returns (count, tab) where tab is (max_hits, 2 + len(payload_cols))
-    int32 rows [chan, offset, *payload] in channel-major order; unused rows
-    are filled with -1.
+    Two-level sparsification: nonzero's cumsum over the full (C*n) mask is
+    the single most expensive op in the naive form, so the mask is first
+    folded into buckets of 512 and only buckets containing hits (bounded
+    by max_hits) are scanned densely — ~45x less cumsum work.
+
+    Returns (count, tab, chan, off, valid) where tab is
+    (max_hits, 2 + len(payload_cols)) int32 rows [chan, offset, *payload]
+    in channel-major order; unused rows are filled with -1.
     """
     C, n = mask.shape
-    flat = mask.reshape(-1)
+    B = 512                                        # bucket width
+    total = C * n
+    nb = -(-total // B)
+    flat = jnp.pad(mask.reshape(-1), (0, nb * B - total))
     count = flat.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=max_hits, fill_value=0)
+    buckets = flat.reshape(nb, B)
+    # level 1: which buckets contain hits (<= max_hits buckets matter)
+    (brow,) = jnp.nonzero(buckets.any(axis=1), size=max_hits, fill_value=0)
+    sub = buckets[brow]                            # (max_hits, B)
+    # level 2: dense nonzero inside the selected buckets only
+    (sidx,) = jnp.nonzero(sub.reshape(-1), size=max_hits, fill_value=0)
+    idx = brow[sidx // B] * B + (sidx % B)         # flat indices, ordered
     valid = jnp.arange(max_hits, dtype=jnp.int32) < count
     chan = (idx // n).astype(jnp.int32)
     off = (idx % n).astype(jnp.int32)
-    cols = [chan, off] + [p.reshape(-1)[idx].astype(jnp.int32)
-                          for p in payload_cols]
+    cols = [chan, off] + [p.reshape(-1)[jnp.minimum(idx, total - 1)]
+                          .astype(jnp.int32) for p in payload_cols]
     tab = jnp.stack(cols, axis=1)
     tab = jnp.where(valid[:, None], tab, -1)
     return count, tab, chan, off, valid
 
 
-def _gather_windows(bits, chan, off, valid, width):
-    """(K,) channel/offset -> (K, width) int8 symbol windows, zero-padded."""
-    n_sym = bits.shape[1]
-    rows = bits[jnp.clip(chan, 0, bits.shape[0] - 1)]          # (K, n_sym)
-    idx = off[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
-    ok = (idx < n_sym) & valid[:, None]
-    win = jnp.take_along_axis(rows, jnp.clip(idx, 0, n_sym - 1), axis=1)
-    return jnp.where(ok, win, 0).astype(jnp.int8)
+def _pack_bits(bits):
+    """(C, n_sym) {0,1} -> (C, ceil(n/8)) uint8, little-endian bit order."""
+    C, n = bits.shape
+    nb = -(-n // 8)
+    b = jnp.pad(bits, ((0, 0), (0, nb * 8 - n))).reshape(C, nb, 8)
+    sh = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    return (b.astype(jnp.int32) << sh).sum(-1).astype(jnp.uint8)
+
+
+def _gather_windows(packed, chan, off, valid, width_bits):
+    """(K,) channel/bit-offset -> (K, width_bits//8 + 1) uint8 packed
+    symbol windows.  16x fewer gathered elements than per-bit gathers; the
+    host unpacks (np.unpackbits) and drops the off%8 head bits."""
+    C, nb = packed.shape
+    wb = width_bits // 8 + 1
+    flat = packed.reshape(-1)
+    col = (off // 8)[:, None] + jnp.arange(wb, dtype=jnp.int32)[None, :]
+    ok = (col < nb) & valid[:, None]
+    idx = jnp.clip(chan, 0, C - 1)[:, None] * nb + jnp.clip(col, 0, nb - 1)
+    return jnp.where(ok, flat[idx], 0).astype(jnp.uint8)
 
 
 def _squelch_gate(snr_db, n, delay_sym, squelch):
@@ -335,13 +377,15 @@ def _device_step(x_ri, *, A68, C68v,
     d = demod.quadrature_demod(yr, yi, demod_gain)
     _, bits = demod.recover_symbols(d, ch_sps, n_sym)
 
-    hits, err, lapv = detect._classic_detect_impl(
-        bits.astype(jnp.float32), A68, C68v, max_ac_errors, 2)
+    hits, err = detect._classic_detect_impl(bits, A68, C68v,
+                                            max_ac_errors, 2)
     if squelch is not None:
         hits = hits & _squelch_gate(snr_db, hits.shape[1], delay_sym, squelch)
-    n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [lapv, err])
-    tab = tab[:, [0, 1, 2, 3]]
-    windows = _gather_windows(bits, chan, off, valid, WIN_SYMBOLS)
+    n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [err])
+    lap = jnp.where(valid, detect.lap_at(bits, chan, off), -1)
+    tab = jnp.stack([tab[:, 0], tab[:, 1], lap, tab[:, 2]], axis=1)
+    packed = _pack_bits(bits)
+    windows = _gather_windows(packed, chan, off, valid, WIN_SYMBOLS)
 
     if with_le:
         le_bits = bits[le_rows].astype(jnp.float32)
@@ -352,7 +396,7 @@ def _device_step(x_ri, *, A68, C68v,
             le_hits = le_hits & gate[le_rows]
         n_le, le_tab, le_chan, le_off, le_valid = _extract_hits(
             le_hits, max_le_hits, [le_dist])
-        le_windows = _gather_windows(bits[le_rows], le_chan, le_off,
+        le_windows = _gather_windows(packed, le_rows[le_chan], le_off,
                                      le_valid, LE_WIN_SYMBOLS)
     else:
         n_le, le_tab, le_windows = None, None, None

@@ -39,7 +39,14 @@ def recover_symbols(d, ch_sps: float, n_sym: int, n_phases: int = 16,
 
     d: (C, N) float32.  Returns (soft, bits): (C, n_sym) float32 soft symbol
     values at the per-(channel, group) best timing phase, and int8 bits.
+
+    For the exact 2-samples/symbol case (the PFB path) this dispatches to a
+    gather-free strided formulation; the general-rate gather version below
+    is the fallback for odd input rates.
     """
+    if ch_sps == 2.0:
+        return _recover_symbols_sps2(d, n_sym, n_phases=n_phases,
+                                     group=group)
     C, N = d.shape
     taus = (jnp.arange(n_phases, dtype=jnp.float32) / n_phases) * ch_sps
     base = jnp.arange(n_sym, dtype=jnp.float32) * ch_sps          # (K,)
@@ -57,6 +64,50 @@ def recover_symbols(d, ch_sps: float, n_sym: int, n_phases: int = 16,
     best = jnp.argmax(metric, axis=1)                             # (C, G)
     sel = jnp.repeat(best, group, axis=-1)[:, :n_sym]             # (C, K)
     soft = jnp.take_along_axis(v, sel[:, None, :], axis=1)[:, 0, :]
+    bits = (soft >= 0).astype(jnp.int8)
+    return soft, bits
+
+
+@partial(jax.jit, static_argnames=("n_sym", "n_phases", "group"))
+def _recover_symbols_sps2(d, n_sym: int, n_phases: int = 16,
+                          group: int = 625):
+    """Strided timing recovery at exactly 2 samples/symbol: every phase
+    tau = p/8 interpolates between two of the three strided views
+    d[2k], d[2k+1], d[2k+2] with a FIXED fraction — no gathers at all.
+
+    Phase selection is done with per-group one-hot masks (16 selects)
+    instead of take_along_axis.
+    """
+    C, N = d.shape
+    K = n_sym
+    e0 = d[:, 0: 2 * K: 2]
+    o0 = d[:, 1: 2 * K + 1: 2]
+    e1 = d[:, 2: 2 * K + 2: 2]
+    # pad truncated tails (N may fall one short of 2K+2)
+    if o0.shape[1] < K:
+        o0 = jnp.pad(o0, ((0, 0), (0, K - o0.shape[1])))
+    if e1.shape[1] < K:
+        e1 = jnp.pad(e1, ((0, 0), (0, K - e1.shape[1])))
+
+    half = n_phases // 2
+    vs = []
+    for p in range(n_phases):
+        f = (p % half) / float(half)
+        a, bb = (e0, o0) if p < half else (o0, e1)
+        vs.append(a * (1.0 - f) + bb * f)               # (C, K)
+
+    n_groups = (n_sym + group - 1) // group
+    pad = n_groups * group - n_sym
+    metrics = []
+    for v in vs:
+        m = jnp.pad(jnp.abs(v), ((0, 0), (0, pad)))
+        metrics.append(m.reshape(C, n_groups, group).sum(-1))   # (C, G)
+    metric = jnp.stack(metrics, axis=1)                  # (C, P, G)
+    best = jnp.argmax(metric, axis=1)                    # (C, G)
+    sel = jnp.repeat(best, group, axis=-1)[:, :n_sym]    # (C, K)
+    soft = jnp.zeros((C, K), jnp.float32)
+    for p, v in enumerate(vs):
+        soft = jnp.where(sel == p, v, soft)
     bits = (soft >= 0).astype(jnp.int8)
     return soft, bits
 

@@ -50,37 +50,73 @@ def _windows(bits_f, offsets, width):
 
 
 @partial(jax.jit, static_argnames=("max_ac_errors", "max_distance"))
-def _classic_detect_impl(bits_f, A, Cv, max_ac_errors: int, max_distance: int):
-    C, T = bits_f.shape
+def _classic_detect_impl(bits, A, Cv, max_ac_errors: int, max_distance: int):
+    """bits: (C, T) {0,1} (any real dtype).  Returns (hits bool, err int32),
+    each (C, T-71).  Distance math runs in bfloat16 (all values are small
+    exact integers; the (C, n, 68) tensors and the 24->68 MXU matmul are
+    the bandwidth/FLOP hot spot at full band) with f32 accumulation.
+    LAP values are NOT computed densely — gather them at hit positions
+    with lap_at()."""
+    bits_h = jnp.asarray(bits).astype(jnp.bfloat16)
+    C, T = bits_h.shape
     n = T - 72 + 1                                     # candidate offsets
     if n <= 0:
         raise ValueError("block shorter than one access code")
-    w = _windows(bits_f, range(68), 72)                # (C, n, 68)
-    lap = w[..., 38:62]                                # (C, n, 24)
-    pred = lap @ A.T + Cv                              # (C, n, 68) int-valued
-    pred = pred - 2.0 * jnp.floor(pred * 0.5)          # mod 2, exact in f32
-    err = (w + pred - 2.0 * w * pred).sum(-1)          # Hamming distance
+    # window layout (C, 68, n): offsets on the time/lane axis so each
+    # shifted slice is a contiguous row — (C, n, 68) puts the window axis
+    # on lanes and makes the stack a transposed strided write
+    w = jnp.stack([bits_h[:, o: o + n] for o in range(68)], axis=1)
+    lap = w[:, 38:62, :]                               # (C, 24, n)
+    pred = jnp.einsum('jk,ckn->cjn', A.astype(jnp.bfloat16), lap,
+                      preferred_element_type=jnp.float32)
+    pred = pred + Cv[None, :, None]
+    pred = (pred - 2.0 * jnp.floor(pred * 0.5)).astype(jnp.bfloat16)
+    err = (w + pred - 2.0 * w * pred).sum(axis=1, dtype=jnp.float32)
 
-    pre = w[..., 0:5]                                  # (C, n, 5)
-    pre_d = jnp.min(
-        jnp.stack([(pre + p - 2 * pre * p).sum(-1) for p in _PRE_PATTERNS]),
-        axis=0)
-    bark = w[..., 61:68]
-    bark_d = jnp.min(
-        jnp.stack([(bark + p - 2 * bark * p).sum(-1) for p in _BARK_PATTERNS]),
-        axis=0)
+    def dist(lo, hi, patterns):
+        ds = []
+        for p in patterns:
+            acc = jnp.zeros((C, n), jnp.float32)
+            for j in range(lo, hi):
+                b = w[:, j, :]
+                pj = float(p[j - lo])
+                acc = acc + (b + pj - 2.0 * pj * b).astype(jnp.float32)
+            ds.append(acc)
+        return jnp.minimum(*ds)
 
-    lap_val = (lap * (2.0 ** np.arange(24, dtype=np.float32))).sum(-1)
+    pre_d = dist(0, 5, _PRE_PATTERNS)
+    bark_d = dist(61, 68, _BARK_PATTERNS)
     hits = (pre_d + bark_d <= max_distance) & (err <= max_ac_errors)
-    return hits, err.astype(jnp.int32), lap_val.astype(jnp.int32)
+    return hits, err.astype(jnp.int32)
+
+
+def lap_at(bits, chan, off):
+    """LAP values at sparse (chan, offset) candidate positions: one flat
+    gather of (K, 24) bits instead of a dense (C, n) LAP plane."""
+    C, T = bits.shape
+    flat = bits.reshape(-1).astype(jnp.int32)
+    j = jnp.arange(24, dtype=jnp.int32)[None, :]
+    col = jnp.clip(off[:, None] + 38 + j, 0, T - 1)
+    idx = jnp.clip(chan, 0, C - 1)[:, None] * T + col
+    b = flat[idx]                                      # (K, 24)
+    return (b << j).sum(-1).astype(jnp.int32)
 
 
 def classic_detect(bits, max_ac_errors: int = 6, max_distance: int = 2):
     """bits: (C, T) {0,1}.  Returns (hits bool, err int32, lap int32),
     each (C, T-71): candidate access-code starts per channel/offset."""
-    bits_f = jnp.asarray(bits).astype(jnp.float32)
-    return _classic_detect_impl(bits_f, jnp.asarray(_A68), jnp.asarray(_C68v),
-                                max_ac_errors, max_distance)
+    bits = jnp.asarray(bits)
+    hits, err = _classic_detect_impl(bits, jnp.asarray(_A68),
+                                     jnp.asarray(_C68v),
+                                     max_ac_errors, max_distance)
+    # dense LAP plane for the compatibility API (tests/small rates)
+    bits_f = bits.astype(jnp.float32)
+    T = bits_f.shape[1]
+    n = T - 72 + 1
+    lap_w = jnp.stack([bits_f[:, 38 + j: 38 + j + n] for j in range(24)],
+                      axis=-1)
+    lap_val = (lap_w * (2.0 ** np.arange(24, dtype=np.float32))).sum(-1)
+    return hits, err, lap_val.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------- LE
