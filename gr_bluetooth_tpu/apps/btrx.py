@@ -1,0 +1,151 @@
+"""btrx — Bluetooth baseband receiver CLI (parity with apps/btrx:16-166).
+
+Mode dispatch mirrors the reference exactly (apps/btrx:140-158):
+    -S               all-piconet sniffer        (multi_sniffer)
+    (no -l)          LAP survey                 (multi_LAP)
+    -l LAP -p        clock recovery + hopping   (multi_hopper)
+    -l LAP           UAP discovery              (multi_UAP)
+
+Sources: -i FILE (.cfile complex64), -i - (stdin stream), -s interleaved
+shorts, or --synthetic N (synthesize an N-slot piconet-consistent capture
+— the replacement for the reference's stripped samples/*.cfile).  SDR
+hardware sources (osmosdr) are out of scope on TPU hosts; captures are
+the replayable path (doc/README.first:39-67).
+
+Output: console log lines; -w TAP interface "btbb" for live Wireshark
+(degrades to console-only like multi_sniffer_impl.cc:66-71); -W FILE.pcap
+portable offline equivalent.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="btrx", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("-f", "--freq", type=float, default=2.476e9,
+                   help="center frequency in Hz (default 2.476e9)")
+    p.add_argument("-r", "--sample-rate", type=float, required=True,
+                   help="sample rate of input in Hz (>= 2e6)")
+    p.add_argument("-N", "--nsamples", type=float, default=None,
+                   help="number of samples to process (default: all)")
+    p.add_argument("-S", "--sniff", action="store_true",
+                   help="all-piconet sniffer")
+    p.add_argument("--aliased", action="store_true",
+                   help="aliased (folded-band) receiver implementation")
+    p.add_argument("-i", "--input-file", default=None,
+                   help="input capture file; '-' for stdin")
+    p.add_argument("-l", "--lap", default=None,
+                   help="LAP of the master device (hex)")
+    p.add_argument("-p", "--hop", action="store_true",
+                   help="reverse hopping sequence to determine master clock")
+    p.add_argument("-s", "--input-shorts", action="store_true",
+                   help="input interleaved shorts instead of complex floats")
+    p.add_argument("-t", "--snr", type=float, default=10.0,
+                   help="SNR squelch threshold in dB (default 10.0)")
+    p.add_argument("-w", "--wireshark", action="store_true",
+                   help="direct output to the 'btbb' TAP interface")
+    p.add_argument("-W", "--pcap", default=None,
+                   help="write decoded packets to a pcap file")
+    p.add_argument("--synthetic", type=int, default=None, metavar="SLOTS",
+                   help="synthesize a SLOTS-slot test capture")
+    p.add_argument("--synthetic-lap", default="24d952")
+    p.add_argument("--synthetic-uap", default="47")
+    p.add_argument("--synthetic-clk0", default="12780")
+    p.add_argument("--block-slots", type=int, default=16,
+                   help="slots per device block (default 16)")
+    p.add_argument("--no-le", action="store_true",
+                   help="disable the LE detection path in sniffer mode")
+    return p
+
+
+def make_writer(opts):
+    if opts.wireshark:
+        from ..io.writers import TapWriter
+        try:
+            return TapWriter("btbb")
+        except Exception as e:  # degrade like multi_sniffer_impl.cc:66-71
+            print(f"could not open TAP interface ({e}); "
+                  "output to console only", file=sys.stderr)
+    if opts.pcap:
+        from ..io.writers import PcapWriter
+        return PcapWriter(opts.pcap)
+    return None
+
+
+def make_mode(opts, writer):
+    rate, freq, snr = opts.sample_rate, opts.freq, opts.snr
+    kw = dict(block_slots=opts.block_slots)
+    if opts.sniff:
+        from ..models.sniffer import Sniffer
+        return Sniffer(rate, freq, snr, writer=writer,
+                       enable_le=not opts.no_le, **kw)
+    if opts.lap is None:
+        from ..models.lap_survey import LapSurvey
+        return LapSurvey(rate, freq, snr, **kw)
+    lap = int(opts.lap, 16)
+    if opts.hop:
+        from ..models.hopper import Hopper
+        return Hopper(rate, freq, snr, lap=lap, aliased=opts.aliased,
+                      writer=writer, **kw)
+    from ..models.uap_discovery import UapDiscovery
+    return UapDiscovery(rate, freq, snr, lap=lap, **kw)
+
+
+def main(argv=None) -> int:
+    opts = build_parser().parse_args(argv)
+    if opts.sample_rate < 2e6:
+        print(f"Sample rate ({opts.sample_rate:.0f}) below minimum "
+              "(2000000)", file=sys.stderr)           # apps/btrx:66-78
+        return 1
+    nsamples = int(opts.nsamples) if opts.nsamples else None
+
+    writer = make_writer(opts)
+    mode = make_mode(opts, writer)
+
+    if opts.synthetic is not None:
+        from ..testing import PiconetSim, make_piconet_capture
+        sim = PiconetSim(lap=int(opts.synthetic_lap, 16),
+                         uap=int(opts.synthetic_uap, 16),
+                         clk0=int(opts.synthetic_clk0, 16))
+        samples, sent = make_piconet_capture(
+            sim, n_slots=opts.synthetic, fs=opts.sample_rate,
+            center_freq=opts.freq, seed=7)
+        mode.run(samples[:nsamples] if nsamples else samples)
+    elif opts.input_file is None:
+        print("no input: use -i FILE, -i -, or --synthetic SLOTS",
+              file=sys.stderr)
+        return 1
+    elif opts.input_file == "-":
+        from ..io.sources import stream_stdin
+        fe = mode.fe
+
+        def blocks():
+            import numpy as np
+            carry = np.zeros((2, 0), np.float32)
+            slot_base = 0
+            for chunk in stream_stdin(fe.step_samples, opts.input_shorts,
+                                      nsamples):
+                carry = np.concatenate([carry, chunk], axis=1)
+                while carry.shape[1] >= fe.block_samples:
+                    yield fe.process_block(carry[:, :fe.block_samples],
+                                           slot_base)
+                    carry = carry[:, fe.step_samples:]
+                    slot_base += fe.block_slots
+        mode.run_blocks(blocks())
+    else:
+        from ..io.sources import load_file
+        x = load_file(opts.input_file, opts.input_shorts, nsamples)
+        mode.run(x)
+
+    if writer is not None:
+        writer.close()
+        print(f"wrote {writer.n_written} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

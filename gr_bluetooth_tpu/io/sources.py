@@ -1,0 +1,89 @@
+"""Input sources: .cfile / interleaved-short files, stdin streaming, and
+synthetic captures — the reference's source selection minus the SDR
+hardware drivers (apps/btrx:88-138; osmosdr needs real hardware, so the
+replayable offline sources are the supported set, plus a synthesizer the
+reference never had).
+
+All sources yield float32 (2, N) IQ planes (the device-boundary layout).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from . import native
+
+
+def _to_planes(arr: np.ndarray) -> np.ndarray:
+    return np.stack([arr.real, arr.imag]).astype(np.float32)
+
+
+def load_file(path: str, input_shorts: bool = False,
+              nsamples: int | None = None) -> np.ndarray:
+    """Read a capture file: complex64 .cfile (blocks.file_source layout)
+    or interleaved int16 IQ (-s, apps/btrx:134-138)."""
+    if input_shorts:
+        raw = np.fromfile(path, dtype=np.int16,
+                          count=-1 if nsamples is None else 2 * nsamples)
+        raw = raw[: (len(raw) // 2) * 2].astype(np.float32).reshape(-1, 2)
+        return np.ascontiguousarray(raw.T)
+    raw = np.fromfile(path, dtype=np.complex64,
+                      count=-1 if nsamples is None else nsamples)
+    return _to_planes(raw)
+
+
+def stream_stdin(chunk_samples: int, input_shorts: bool = False,
+                 nsamples: int | None = None, ring_mb: int = 64):
+    """Yield float32 (2, chunk_samples) planes from stdin.
+
+    Uses the native SPSC ring + reader thread when available (backpressure
+    mode — stdin is a pipe, not a live radio), plain blocking reads
+    otherwise.  Mirrors `btrx -i -` (apps/btrx:121-123)."""
+    itemsize = 4 if input_shorts else 8
+    per = 2 if input_shorts else 1
+    need_bytes = chunk_samples * itemsize
+    lib = native.load()
+    fd = sys.stdin.fileno()
+    produced = 0
+
+    def convert(buf: bytes) -> np.ndarray:
+        if input_shorts:
+            a = np.frombuffer(buf, dtype=np.int16).astype(np.float32)
+            a = a.reshape(-1, 2)
+            return np.ascontiguousarray(a.T)
+        return _to_planes(np.frombuffer(buf, dtype=np.complex64))
+
+    if lib is not None:
+        import ctypes
+        ring = lib.bt_ring_create(os.dup(fd), ring_mb << 20, 0)
+        buf = ctypes.create_string_buffer(need_bytes)
+        pending = b""
+        try:
+            while nsamples is None or produced < nsamples:
+                n = lib.bt_ring_pop(ring, buf, need_bytes - len(pending))
+                if n < 0:
+                    break
+                if n == 0:
+                    continue
+                pending += buf.raw[:n]
+                if len(pending) >= need_bytes:
+                    yield convert(pending[:need_bytes])
+                    produced += chunk_samples
+                    pending = pending[need_bytes:]
+            if pending and (nsamples is None or produced < nsamples):
+                pad = pending + b"\0" * (need_bytes - len(pending))
+                yield convert(pad)
+        finally:
+            lib.bt_ring_destroy(ring)
+    else:
+        f = sys.stdin.buffer
+        while nsamples is None or produced < nsamples:
+            buf = f.read(need_bytes)
+            if not buf:
+                break
+            if len(buf) < need_bytes:
+                buf = buf + b"\0" * (need_bytes - len(buf))
+            yield convert(buf)
+            produced += chunk_samples

@@ -104,7 +104,10 @@ class Hopper:
     # ------------------------------------------------------------ run
 
     def run(self, samples, start_clkn: int = 0):
-        for res in self.fe.stream(samples, start_clkn):
+        return self.run_blocks(self.fe.stream(samples, start_clkn))
+
+    def run_blocks(self, results):
+        for res in results:
             if self.piconet.have_clk27:
                 self._hopalong(res)
             else:

@@ -40,7 +40,12 @@ class LapSurvey:
         self.observations: list[LapObservation] = []
 
     def run(self, samples, start_clkn: int = 0, emit_console: bool = True):
-        for res in self.fe.stream(samples, start_clkn):
+        return self.run_blocks(self.fe.stream(samples, start_clkn),
+                               emit_console=emit_console)
+
+    def run_blocks(self, results, emit_console: bool = True):
+        """Consume an iterator of BlockResults (streaming sources)."""
+        for res in results:
             for h in res.hits:
                 obs = LapObservation(h.clkn, h.channel, h.lap, h.errors,
                                      h.snr_db)

@@ -160,7 +160,10 @@ class Sniffer:
     # ------------------------------------------------------------ run
 
     def run(self, samples, start_clkn: int = 0):
-        for res in self.fe.stream(samples, start_clkn):
+        return self.run_blocks(self.fe.stream(samples, start_clkn))
+
+    def run_blocks(self, results):
+        for res in results:
             for h in res.hits:
                 self._handle_ac(res, h)
             if self.enable_le:

@@ -30,7 +30,10 @@ class UapDiscovery:
 
     def run(self, samples, start_clkn: int = 0):
         """Returns the discovered UAP, or None if the capture ran out."""
-        for res in self.fe.stream(samples, start_clkn):
+        return self.run_blocks(self.fe.stream(samples, start_clkn))
+
+    def run_blocks(self, results):
+        for res in results:
             for h in res.hits:
                 if h.lap != self.lap:
                     continue
