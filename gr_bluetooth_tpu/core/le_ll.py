@@ -1,0 +1,92 @@
+"""LE link-layer primitives: CRC-24 and Channel Selection Algorithm #1.
+
+New capability relative to the reference: its low_energy_piconet is an empty
+stub (lib/piconet_impl.cc:551-585) and its LE packet layer neither checks nor
+generates the CRC (le_packet decode_* stubs, lib/packet_impl.cc:1571-1579).
+A CONNECT_REQ it *dissects* (AA, CRCInit, ChM, Hop — lib/packet_impl.cc:
+1581-1665) carries everything needed to follow the connection; this module
+supplies the two missing algorithms (spec v4.2 Vol 6 Part B §3.1.1 CRC and
+§4.5.8.2 channel selection), vectorized numpy like core/hop.py.
+
+Conventions (spec §1.2/§3.1.1): data bits enter the CRC LFSR in air order
+(LSB first); the register is preset with CRCInit (position 0 = LSB; 0x555555
+on advertising channels); the 24 CRC bits are transmitted MSB first
+(position 23 down to 0).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["crc24", "crc24_bits", "crc24_ok", "used_channels",
+           "csa1_next_unmapped", "csa1_channel", "csa1_sequence"]
+
+_CRC24_POLY = 0x00065B  # feedback taps incl. position 0 (x^24+x^10+x^9+x^6+x^4+x^3+x+1)
+ADV_CRC_INIT = 0x555555
+
+
+def crc24(air_bits: np.ndarray, init) -> np.ndarray:
+    """LE CRC-24 register after consuming air-order bits.
+
+    air_bits: (..., L) {0,1}; init: broadcastable CRCInit value(s).
+    Returns (...) int64 register value.
+    """
+    air_bits = np.asarray(air_bits, dtype=np.int64)
+    reg = np.broadcast_to(np.asarray(init, dtype=np.int64),
+                          air_bits.shape[:-1]).copy()
+    for i in range(air_bits.shape[-1]):
+        fb = ((reg >> 23) & 1) ^ (air_bits[..., i] & 1)
+        reg = ((reg << 1) & 0xFFFFFF) ^ (fb * _CRC24_POLY)
+    return reg
+
+
+def crc24_bits(air_bits: np.ndarray, init) -> np.ndarray:
+    """The 24 CRC bits as transmitted (MSB of the register first)."""
+    reg = crc24(air_bits, init)
+    sh = np.arange(23, -1, -1, dtype=np.int64)
+    return ((np.asarray(reg)[..., None] >> sh) & 1).astype(np.uint8)
+
+
+def crc24_ok(pdu_and_crc_bits: np.ndarray, init) -> np.ndarray:
+    """Validate a received (header+payload+CRC) dewhitened bit stream."""
+    bits = np.asarray(pdu_and_crc_bits)
+    data, rx = bits[..., :-24], bits[..., -24:]
+    want = crc24_bits(data, init)
+    return (rx == want).all(axis=-1)
+
+
+# ------------------------------------------------------------------ CSA#1
+
+def used_channels(ch_map: int) -> np.ndarray:
+    """Sorted array of used data-channel indices from the 37-bit ChM field."""
+    ch = np.arange(37, dtype=np.int64)
+    return ch[((np.int64(ch_map) >> ch) & 1) == 1]
+
+
+def csa1_next_unmapped(last_unmapped, hop_increment) -> np.ndarray:
+    """unmappedChannel = (lastUnmapped + hopIncrement) mod 37 (§4.5.8.2)."""
+    return (np.asarray(last_unmapped, dtype=np.int64) +
+            np.asarray(hop_increment, dtype=np.int64)) % 37
+
+
+def csa1_channel(unmapped, ch_map: int) -> np.ndarray:
+    """Remap an unmapped channel through the used-channel map."""
+    unmapped = np.asarray(unmapped, dtype=np.int64)
+    used = used_channels(ch_map)
+    if len(used) == 0:
+        raise ValueError("channel map has no used channels")
+    in_map = ((np.int64(ch_map) >> unmapped) & 1) == 1
+    remapped = used[unmapped % len(used)]
+    return np.where(in_map, unmapped, remapped)
+
+
+def csa1_sequence(first_unmapped: int, hop_increment: int, ch_map: int,
+                  n_events: int) -> np.ndarray:
+    """Data-channel index for connection events 0..n_events-1.
+
+    Event 0 uses unmapped = (first_unmapped + hop) mod 37, i.e.
+    `first_unmapped` is the state *before* the first event (0 at connection
+    setup per §4.5.8.2: lastUnmappedChannel is 0 for the first event).
+    """
+    ev = np.arange(1, n_events + 1, dtype=np.int64)
+    unmapped = (first_unmapped + ev * hop_increment) % 37
+    return csa1_channel(unmapped, ch_map)

@@ -85,3 +85,12 @@ def freq2chan(freq: float) -> int:
 def freq2index(freq: float) -> int:
     ch = freq2chan(freq)
     return int(LE_CHAN2INDEX[ch]) if ch >= 0 else -1
+
+
+# inverse map: channel index 0..39 -> LE channel 0..39 (2402 + 2k MHz)
+LE_INDEX2CHAN = np.argsort(LE_CHAN2INDEX)
+
+
+def index2freq(index: int) -> float:
+    """Absolute frequency of an LE channel index (0..39)."""
+    return 2402e6 + 2e6 * int(LE_INDEX2CHAN[index])

@@ -24,11 +24,11 @@ import numpy as np
 
 from ..constants import ID_THRESHOLD, MAX_PAYLOAD_BITS, TYPE_NAMES
 from ..utils.bits import air_to_host, host_to_air
-from . import access_code, crc, fec, whitening
+from . import access_code, crc, fec, le_ll, whitening
 from .le_tables import freq2index
 
 __all__ = ["ClassicPacket", "LePacket", "encode_classic_packet",
-           "encode_fhs_payload", "encode_le_adv"]
+           "encode_fhs_payload", "encode_le_adv", "encode_le_data"]
 
 _HDR_SKIP = 18  # payload whitening starts 18 bits after the header's
 
@@ -467,6 +467,48 @@ class LePacket:
         pdu = air_to_host(s[56:56 + nbytes * 8].reshape(nbytes, 8))
         self.pdu = np.zeros(39, dtype=np.int64)
         self.pdu[:min(39, nbytes)] = pdu[:39]
+        # received CRC-24, if the window covers it (bits follow the payload)
+        crc_end = 56 + self.length * 8 + 24
+        self.crc_rx: int | None = None
+        if 0 < self.length and crc_end <= n:
+            bits = s[56 + self.length * 8: crc_end].astype(np.int64)
+            self.crc_rx = int((bits << np.arange(23, -1, -1)).sum())
+
+    def crc_ok(self, crc_init: int | None = None) -> bool:
+        """Validate the CRC-24 (new capability; reference checks none).
+
+        crc_init defaults to the advertising value; pass a connection's
+        CRCInit for data-channel packets.
+        """
+        if self.crc_rx is None:
+            return False
+        init = le_ll.ADV_CRC_INIT if crc_init is None else crc_init
+        data = self.link[40: 56 + self.length * 8]
+        return int(le_ll.crc24(data, init)) == self.crc_rx
+
+    # --------------------------------------------------- CONNECT_REQ fields
+
+    def connect_req_fields(self) -> dict | None:
+        """Parsed LLData of a CONNECT_REQ (the fields the reference only
+        prints, lib/packet_impl.cc:1619-1665) — the inputs to connection
+        following (core/le_ll.py)."""
+        if self.index < 37 or self.pdu_type != 5 or self.length < 34:
+            return None
+        p = self.pdu
+        return dict(
+            init_a=self._mac(0), adv_a=self._mac(6),
+            aa=int(p[12] | p[13] << 8 | p[14] << 16 | p[15] << 24),
+            crc_init=int(p[16] | p[17] << 8 | p[18] << 16),
+            win_size=int(p[19]),
+            win_offset=int(p[20] | p[21] << 8),
+            interval=int(p[22] | p[23] << 8),
+            latency=int(p[24] | p[25] << 8),
+            timeout=int(p[26] | p[27] << 8),
+            ch_map=int(p[28] | p[29] << 8 | p[30] << 16 | p[31] << 24 |
+                       p[32] << 32),
+            hop=int(p[33]) & 0x1F,
+            sca=(int(p[33]) >> 5) & 7,
+        )
 
     def _mac(self, off: int) -> str:
         return "".join(f"{int(b):02x}" for b in self.pdu[off:off + 6])
@@ -643,21 +685,42 @@ def encode_fhs_packet(lap: int, uap: int, nap: int, clock: int,
                            fec.fec23_encode(whitened)])
 
 
-def encode_le_adv(aa: int, index: int, pdu_type: int,
-                  payload: bytes) -> np.ndarray:
-    """LE advertising-channel packet symbols: preamble+AA+whitened hdr+payload.
-
-    (CRC24 omitted: the reference's LE path neither generates nor checks it;
-    detection relies on preamble/AA/header distances.)"""
+def _le_assemble(aa: int, index: int, header: np.ndarray, payload: bytes,
+                 crc_init: int | None) -> np.ndarray:
+    """Common LE framing: preamble + AA + whitened (header+payload[+CRC24])."""
     aa_bits = host_to_air(aa, 32)
     pre9 = 0x155 if aa_bits[0] == 1 else 0x0AA
     preamble = host_to_air(pre9, 9)[:8]
-    header = np.zeros(16, dtype=np.uint8)
-    header[0:4] = host_to_air(pdu_type, 4)
-    header[8:14] = host_to_air(len(payload), 6)
     body = np.frombuffer(bytes(payload), dtype=np.uint8)
     body_bits = host_to_air(body, 8).reshape(-1) if len(body) else \
         np.zeros(0, dtype=np.uint8)
     frame = np.concatenate([header, body_bits])
-    frame ^= whitening.le_whitening_word(index, len(frame))
+    if crc_init is not None:
+        frame = np.concatenate([frame, le_ll.crc24_bits(frame, crc_init)])
+    frame = frame ^ whitening.le_whitening_word(index, len(frame))
     return np.concatenate([preamble, aa_bits, frame]).astype(np.uint8)
+
+
+def encode_le_adv(aa: int, index: int, pdu_type: int, payload: bytes,
+                  crc: bool = True) -> np.ndarray:
+    """LE advertising-channel packet symbols (preamble+AA+whitened
+    hdr+payload+CRC24).  The reference's LE path neither generates nor
+    checks the CRC; ours does (core/le_ll.py) — pass crc=False for
+    reference-shaped frames."""
+    header = np.zeros(16, dtype=np.uint8)
+    header[0:4] = host_to_air(pdu_type, 4)
+    header[8:14] = host_to_air(len(payload), 6)
+    return _le_assemble(aa, index, header, payload,
+                        le_ll.ADV_CRC_INIT if crc else None)
+
+
+def encode_le_data(aa: int, index: int, llid: int, payload: bytes,
+                   crc_init: int, nesn: int = 0, sn: int = 0,
+                   md: int = 0) -> np.ndarray:
+    """LE data-channel packet symbols for connection following tests
+    (new capability; the reference cannot synthesize LE traffic at all)."""
+    header = np.zeros(16, dtype=np.uint8)
+    header[0:2] = host_to_air(llid, 2)
+    header[2], header[3], header[4] = nesn & 1, sn & 1, md & 1
+    header[8:13] = host_to_air(len(payload), 5)
+    return _le_assemble(aa, index, header, payload, crc_init)

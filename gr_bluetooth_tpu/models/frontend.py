@@ -31,7 +31,7 @@ import numpy as np
 from ..constants import (DEFAULT_SNR_DB, SYMBOLS_AC_SHORT, SYMBOLS_FOR_HISTORY,
                          SYMBOLS_LE_PREAMBLE_AA, SYMBOLS_PER_SLOT)
 from ..core.le_tables import freq2index
-from ..ops import channelizer, demod, detect, pfb, snr
+from ..ops import channelizer, demod, detect, detect_pallas, pfb, snr
 from ..utils.log import get_logger
 
 __all__ = ["FrontEnd", "Hit", "LeHit", "BlockResult"]
@@ -84,7 +84,16 @@ class FrontEnd:
     def __init__(self, sample_rate: float, center_freq: float,
                  squelch_threshold: float = DEFAULT_SNR_DB,
                  block_slots: int = 16, max_ac_errors: int = 6,
-                 use_squelch: bool = True, enable_le: bool = False):
+                 use_squelch: bool = True, enable_le: bool = False,
+                 use_pallas: bool | None = None):
+        # Pallas AC-detection kernel: default on for TPU backends (it keeps
+        # the (C, 68, n) window tensor out of HBM), off for CPU tests
+        if use_pallas is None:
+            try:
+                use_pallas = jax.default_backend() not in ("cpu",)
+            except RuntimeError:       # backend init failure -> safe path
+                use_pallas = False
+        self.use_pallas = bool(use_pallas)
         # polyphase DFT filterbank for even samples/symbol (the common and
         # fast path: ~ntaps MACs/sample + one small matmul), dense strided
         # conv bank for odd rates (same prototype filter, same outputs)
@@ -166,7 +175,8 @@ class FrontEnd:
             delay_sym=self.delay_sym,
             squelch=(float(squelch_threshold) if use_squelch else None),
             max_hits=self.max_hits, max_le_hits=self.max_le_hits,
-            with_le=bool(self.enable_le and self.le_rows))
+            with_le=bool(self.enable_le and self.le_rows),
+            use_pallas=self.use_pallas)
 
     # ------------------------------------------------------------ device
 
@@ -355,7 +365,7 @@ def _squelch_gate(snr_db, n, delay_sym, squelch):
 @partial(jax.jit, static_argnames=(
     "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "slot_len",
     "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch", "max_hits",
-    "max_le_hits", "with_le"))
+    "max_le_hits", "with_le", "use_pallas"))
 def _device_step(x_ri, *, A68, C68v,
                  h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
                  probe_re=None, probe_im=None,
@@ -363,7 +373,7 @@ def _device_step(x_ri, *, A68, C68v,
                  le_rows=None, le_white=None, le_aa_on=None, le_max_dist=None,
                  is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
                  slot_ch, kappa, max_ac_errors, delay_sym, squelch, max_hits,
-                 max_le_hits, with_le):
+                 max_le_hits, with_le, use_pallas=False):
     if is_pfb:
         # streams carry one extra probe row above the top channel
         yr, yi = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, decim)
@@ -377,8 +387,11 @@ def _device_step(x_ri, *, A68, C68v,
     d = demod.quadrature_demod(yr, yi, demod_gain)
     _, bits = demod.recover_symbols(d, ch_sps, n_sym)
 
-    hits, err = detect._classic_detect_impl(bits, A68, C68v,
-                                            max_ac_errors, 2)
+    if use_pallas:
+        hits, err = detect_pallas.classic_detect_pallas(bits, max_ac_errors)
+    else:
+        hits, err = detect._classic_detect_impl(bits, A68, C68v,
+                                                max_ac_errors, 2)
     if squelch is not None:
         hits = hits & _squelch_gate(snr_db, hits.shape[1], delay_sym, squelch)
     n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [err])

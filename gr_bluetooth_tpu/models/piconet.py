@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..constants import MAX_PATTERN_LENGTH, SEQUENCE_LENGTH
-from ..core import hop
+from ..core import hop, le_ll
 from ..core.packets import ClassicPacket
 from ..utils.log import get_logger
 
@@ -255,12 +255,81 @@ class BasicRatePiconet:
 
 @dataclass
 class LowEnergyPiconet:
-    """LE connection tracking (the reference's is an empty stub,
-    lib/piconet_impl.cc:551-585; we at least track observations)."""
+    """LE piconet / connection tracking.
+
+    The reference's low_energy_piconet is an empty stub
+    (lib/piconet_impl.cc:551-585); this is a real implementation: when a
+    CONNECT_REQ is sniffed its LLData (the fields the reference only
+    prints, lib/packet_impl.cc:1619-1665) seeds full connection-following
+    state — CSA#1 hop sequence, CRCInit for data-packet validation, and
+    connection-event timing from the transmit-window parameters.
+    """
     aa: int
     packets_seen: int = 0
+    crc_ok_count: int = 0
+    crc_bad_count: int = 0
     pkt_queue: list = field(default_factory=list)
+
+    # connection parameters (from CONNECT_REQ LLData)
+    is_connection: bool = False
+    crc_init: int | None = None
+    ch_map: int = 0
+    hop_increment: int = 0
+    interval: int = 0                 # units of 1.25 ms = 2 slots
+    latency: int = 0
+    timeout: int = 0
+    win_size: int = 0
+    win_offset: int = 0
+    anchor_clkn: int | None = None    # estimated clkn of connection event 0
 
     def enqueue(self, pkt):
         self.pkt_queue.append(pkt)
         self.packets_seen += 1
+
+    # ------------------------------------------------------- connection
+
+    def from_connect_req(self, fields: dict, clkn: int) -> None:
+        """Seed connection state from a sniffed CONNECT_REQ at slot clkn.
+
+        Event 0's anchor lies inside the transmit window, which opens
+        1.25 ms + WinOffset*1.25 ms after the CONNECT_REQ end
+        (spec v4.2 Vol 6 Part B §4.5.3); clkn ticks are 625 us = half
+        that unit.
+        """
+        self.is_connection = True
+        self.crc_init = fields["crc_init"]
+        self.ch_map = fields["ch_map"]
+        self.hop_increment = fields["hop"]
+        self.interval = fields["interval"]
+        self.latency = fields["latency"]
+        self.timeout = fields["timeout"]
+        self.win_size = fields["win_size"]
+        self.win_offset = fields["win_offset"]
+        self.anchor_clkn = clkn + 2 * (1 + self.win_offset)
+        log.info("LE connection AA=%08x: hop=%d interval=%d chm=%010x",
+                 self.aa, self.hop_increment, self.interval, self.ch_map)
+
+    def channel_for_event(self, event: int) -> int:
+        """Data channel index for connection event N (CSA#1, §4.5.8.2)."""
+        unmapped = ((event + 1) * self.hop_increment) % 37
+        return int(le_ll.csa1_channel(np.int64(unmapped), self.ch_map))
+
+    def event_for_clkn(self, clkn: int) -> int:
+        """Connection event counter active at slot clock clkn."""
+        if self.anchor_clkn is None or self.interval <= 0:
+            return 0
+        return max(0, (clkn - self.anchor_clkn) // (2 * self.interval))
+
+    def predict_channel(self, clkn: int) -> int:
+        return self.channel_for_event(self.event_for_clkn(clkn))
+
+    def observe_data(self, pkt) -> bool:
+        """Track a data-channel packet; returns CRC validity."""
+        self.enqueue(pkt)
+        ok = bool(pkt.crc_ok(self.crc_init)) if self.is_connection else \
+            bool(pkt.crc_ok())
+        if ok:
+            self.crc_ok_count += 1
+        else:
+            self.crc_bad_count += 1
+        return ok

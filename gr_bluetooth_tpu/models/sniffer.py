@@ -153,9 +153,30 @@ class Sniffer:
             log.info("time %6d, snr=%.1f, %s", pkt.clkn, h.snr_db,
                      pkt.summary().splitlines()[0])
             aa = pkt.aa
-            if aa not in self.low_energy_piconets:
-                self.low_energy_piconets[aa] = LowEnergyPiconet(aa=aa)
-            self.low_energy_piconets[aa].enqueue(pkt)
+            pn = self.low_energy_piconets.get(aa)
+            if pn is None:
+                pn = self.low_energy_piconets[aa] = LowEnergyPiconet(aa=aa)
+            if pkt.index >= 37:
+                pn.enqueue(pkt)
+                # CONNECT_REQ: seed a follower for the new connection's AA
+                # (the reference only prints the LLData,
+                # lib/packet_impl.cc:1619-1665)
+                fields = pkt.connect_req_fields()
+                if fields is not None and pkt.crc_ok():
+                    conn = self.low_energy_piconets.get(fields["aa"])
+                    if conn is None:
+                        conn = LowEnergyPiconet(aa=fields["aa"])
+                        self.low_energy_piconets[fields["aa"]] = conn
+                    conn.from_connect_req(fields, pkt.clkn)
+                    self.bus.emit("le_connection", aa=conn.aa,
+                                  crc_init=conn.crc_init,
+                                  hop=conn.hop_increment,
+                                  interval=conn.interval,
+                                  ch_map=conn.ch_map)
+            else:
+                ok = pn.observe_data(pkt)
+                self.bus.emit("le_data", aa=aa, index=pkt.index,
+                              crc_ok=ok, llid=pkt.llid, length=pkt.length)
 
     # ------------------------------------------------------------ run
 

@@ -33,9 +33,13 @@ def gfsk_baseband(bits: np.ndarray, sps: int, bt: float = 0.5,
                   h_index: float = 0.32) -> np.ndarray:
     """Complex-baseband GFSK of a bit sequence at sps samples/symbol."""
     nrz = 2.0 * np.asarray(bits, dtype=np.float64) - 1.0
-    rect = np.repeat(nrz, sps)
+    # hold the final NRZ value through the pulse-shaping tail (a real TX
+    # ramps down *after* the last bit): otherwise the last symbol's Gaussian
+    # pulse is truncated at the receiver's sampling point and the final bit
+    # of every burst is marginal
+    rect = np.concatenate([np.repeat(nrz, sps), np.full(2 * sps, nrz[-1])])
     g = _gaussian_taps(sps, bt)
-    freq = np.convolve(rect, g, mode="full")[: len(rect) + sps]
+    freq = np.convolve(rect, g, mode="full")[: len(rect)]
     phase = np.cumsum(freq) * (np.pi * h_index / sps)
     return np.exp(1j * phase).astype(np.complex64)
 

@@ -12,10 +12,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from .constants import SYMBOLS_PER_SLOT
-from .core import hop, packets
+from .core import hop, le_ll, packets
+from .core.le_tables import LE_INDEX2CHAN
 from .ops import synth
 
-__all__ = ["PiconetSim", "make_piconet_capture"]
+__all__ = ["PiconetSim", "make_piconet_capture", "LeConnectionSim",
+           "make_le_connection_capture"]
 
 
 @dataclass
@@ -72,6 +74,87 @@ def make_piconet_capture(sim: PiconetSim, n_slots: int, fs: float,
         plan.append(synth.PlannedPacket(channel=ch, start_sample=start,
                                         bits=bits))
         sent.append((slot, ch, 2 if fhs else type_code))
+    samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
+                                       fs=fs, center_freq=center_freq,
+                                       noise_std=noise_std, seed=seed)
+    return samples, sent
+
+
+# ---------------------------------------------------------------------- LE
+
+@dataclass
+class LeConnectionSim:
+    """A simulated LE master: advertising, a CONNECT_REQ, then CSA#1-hopped
+    data packets — ground truth for the connection-following path the
+    reference stubs out (lib/piconet_impl.cc:551-585)."""
+    adv_a: bytes = b"\x11\x22\x33\x44\x55\x66"
+    init_a: bytes = b"\xaa\xbb\xcc\xdd\xee\xff"
+    conn_aa: int = 0x50655F3A
+    crc_init: int = 0x5A6B7C
+    hop_increment: int = 7
+    interval: int = 6            # 1.25 ms units -> 12 slots
+    win_offset: int = 1
+    win_size: int = 2
+    latency: int = 0
+    timeout: int = 100
+    ch_map: int = 0x1FFFFFFFFF   # all 37 data channels
+
+    def connect_req_bits(self) -> np.ndarray:
+        lldata = (self.conn_aa.to_bytes(4, "little") +
+                  self.crc_init.to_bytes(3, "little") +
+                  bytes([self.win_size]) +
+                  self.win_offset.to_bytes(2, "little") +
+                  self.interval.to_bytes(2, "little") +
+                  self.latency.to_bytes(2, "little") +
+                  self.timeout.to_bytes(2, "little") +
+                  self.ch_map.to_bytes(5, "little") +
+                  bytes([(self.hop_increment & 0x1F) | (0 << 5)]))
+        return packets.encode_le_adv(
+            0x8E89BED6, 38, 5, self.init_a + self.adv_a + lldata)
+
+    def data_channel(self, event: int) -> int:
+        """LE data channel index for connection event N (CSA#1)."""
+        unmapped = ((event + 1) * self.hop_increment) % 37
+        return int(le_ll.csa1_channel(np.int64(unmapped), self.ch_map))
+
+    def data_bits(self, event: int, payload: bytes) -> np.ndarray:
+        return packets.encode_le_data(self.conn_aa, self.data_channel(event),
+                                      llid=2, payload=payload,
+                                      crc_init=self.crc_init, sn=event & 1)
+
+
+def make_le_connection_capture(sim: LeConnectionSim, n_slots: int, fs: float,
+                               center_freq: float, connect_slot: int = 2,
+                               n_events: int = 8, noise_std: float = 0.02,
+                               seed: int = 3):
+    """CONNECT_REQ on advertising channel 38 followed by one data packet at
+    each connection-event anchor.  Returns (samples, sent) with
+    sent = [(slot, le_index, kind)] for packets inside the band."""
+    sps = int(round(fs / 1e6))
+    spslot = SYMBOLS_PER_SLOT * sps
+    plan, sent = [], []
+
+    def br_channel(index: int) -> int:
+        return 2 * int(LE_INDEX2CHAN[index])        # 2402 + 2k MHz grid
+
+    plan.append(synth.PlannedPacket(
+        channel=br_channel(38), start_sample=connect_slot * spslot + 8 * sps,
+        bits=sim.connect_req_bits()))
+    sent.append((connect_slot, 38, "CONNECT_REQ"))
+
+    anchor = connect_slot + 2 * (1 + sim.win_offset)
+    rng = np.random.default_rng(seed ^ 0x1E)
+    for ev in range(n_events):
+        slot = anchor + ev * 2 * sim.interval
+        if slot >= n_slots - 1:
+            break
+        payload = bytes(rng.integers(0, 256, 8).tolist())
+        plan.append(synth.PlannedPacket(
+            channel=br_channel(sim.data_channel(ev)),
+            start_sample=slot * spslot + 8 * sps,
+            bits=sim.data_bits(ev, payload)))
+        sent.append((slot, sim.data_channel(ev), "DATA"))
+
     samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
                                        fs=fs, center_freq=center_freq,
                                        noise_std=noise_std, seed=seed)

@@ -153,3 +153,41 @@ def test_sniffer_le_path():
     mine = [e for e in ev if e["aa"] == 0xC0FFEE11]
     assert len(mine) == 1
     assert mine[0]["clkn"] == 0
+
+
+def test_sniffer_le_connection_following():
+    """CONNECT_REQ + CSA#1-hopped data packets: the sniffer seeds a
+    connection follower from the LLData (new capability; the reference's
+    low_energy_piconet is an empty stub, lib/piconet_impl.cc:551-585),
+    validates data CRCs with the sniffed CRCInit, and its channel
+    predictions match the transmitted hop sequence."""
+    from gr_bluetooth_tpu.testing import LeConnectionSim, make_le_connection_capture
+
+    fs, center = 8e6, 2426e6          # covers adv ch 38 + data idx 10, 11
+    sim = LeConnectionSim(ch_map=(1 << 10) | (1 << 11), hop_increment=5,
+                          interval=6, win_offset=1)
+    samples, sent = make_le_connection_capture(sim, n_slots=128, fs=fs,
+                                               center_freq=center,
+                                               connect_slot=2, n_events=8)
+    bus = EventBus()
+    mode = Sniffer(fs, center, bus=bus, enable_le=True)
+    mode.run(samples)
+
+    conns = bus.events("le_connection")
+    assert len(conns) == 1
+    assert conns[0]["aa"] == sim.conn_aa
+    assert conns[0]["crc_init"] == sim.crc_init
+    assert conns[0]["hop"] == sim.hop_increment
+
+    pn = mode.low_energy_piconets[sim.conn_aa]
+    n_data_sent = sum(1 for (_, _, kind) in sent if kind == "DATA")
+    assert n_data_sent >= 6
+    assert pn.crc_ok_count >= n_data_sent - 1   # all in-band data validated
+    assert pn.crc_bad_count == 0
+
+    # channel prediction parity against the actual packets
+    data = [p for p in mode.le_packets
+            if p.aa == sim.conn_aa and p.index < 37]
+    assert len(data) >= n_data_sent - 1
+    for pkt in data:
+        assert pn.predict_channel(pkt.clkn) == pkt.index
