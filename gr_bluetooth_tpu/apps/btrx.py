@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-clk0", default="12780")
     p.add_argument("--block-slots", type=int, default=16,
                    help="slots per device block (default 16)")
+    p.add_argument("--stats", action="store_true",
+                   help="print counters and per-stage timings at exit")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a JAX device profile trace to DIR")
+    p.add_argument("--checkpoint", default=None, metavar="FILE.npz",
+                   help="save piconet state + stream cursor at exit "
+                        "(sniffer mode)")
+    p.add_argument("--resume", default=None, metavar="FILE.npz",
+                   help="restore piconet state from a checkpoint before "
+                        "processing (sniffer mode)")
     p.add_argument("--no-le", action="store_true",
                    help="disable the LE detection path in sniffer mode")
     return p
@@ -106,6 +116,39 @@ def main(argv=None) -> int:
     writer = make_writer(opts)
     mode = make_mode(opts, writer)
 
+    start_clkn = 0
+    if opts.resume:
+        if not hasattr(mode, "restore_state"):
+            print("--resume requires sniffer mode (-S)", file=sys.stderr)
+            return 1
+        start_clkn = mode.restore_state(opts.resume)
+        print(f"resumed from {opts.resume} at clkn {start_clkn}",
+              file=sys.stderr)
+
+    from ..utils.metrics import metrics, profile
+    with profile(opts.profile):
+        rc = _run_source(opts, mode, start_clkn)
+    if rc != 0:
+        return rc
+
+    if opts.checkpoint:
+        if not hasattr(mode, "save_state"):
+            print("--checkpoint requires sniffer mode (-S)", file=sys.stderr)
+        else:
+            mode.save_state(opts.checkpoint)
+            print(f"checkpointed to {opts.checkpoint} at clkn {mode.cursor}",
+                  file=sys.stderr)
+    if opts.stats:
+        print(metrics.report(), file=sys.stderr)
+
+    if writer is not None:
+        writer.close()
+        print(f"wrote {writer.n_written} frames", file=sys.stderr)
+    return 0
+
+
+def _run_source(opts, mode, start_clkn: int) -> int:
+    nsamples = int(opts.nsamples) if opts.nsamples else None
     if opts.synthetic is not None:
         from ..testing import PiconetSim, make_piconet_capture
         sim = PiconetSim(lap=int(opts.synthetic_lap, 16),
@@ -114,7 +157,8 @@ def main(argv=None) -> int:
         samples, sent = make_piconet_capture(
             sim, n_slots=opts.synthetic, fs=opts.sample_rate,
             center_freq=opts.freq, seed=7)
-        mode.run(samples[:nsamples] if nsamples else samples)
+        mode.run(samples[:nsamples] if nsamples else samples,
+                 start_clkn=start_clkn)
     elif opts.input_file is None:
         print("no input: use -i FILE, -i -, or --synthetic SLOTS",
               file=sys.stderr)
@@ -126,7 +170,7 @@ def main(argv=None) -> int:
         def blocks():
             import numpy as np
             carry = np.zeros((2, 0), np.float32)
-            slot_base = 0
+            slot_base = start_clkn
             for chunk in stream_stdin(fe.step_samples, opts.input_shorts,
                                       nsamples):
                 carry = np.concatenate([carry, chunk], axis=1)
@@ -139,11 +183,7 @@ def main(argv=None) -> int:
     else:
         from ..io.sources import load_file
         x = load_file(opts.input_file, opts.input_shorts, nsamples)
-        mode.run(x)
-
-    if writer is not None:
-        writer.close()
-        print(f"wrote {writer.n_written} frames", file=sys.stderr)
+        mode.run(x, start_clkn=start_clkn)
     return 0
 
 

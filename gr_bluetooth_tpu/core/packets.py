@@ -50,6 +50,8 @@ class ClassicPacket:
     uap: int = 0
     clock: int = 0                       # CLK1-6 or CLK1-27
     have_uap: bool = False
+    have_nap: bool = False
+    nap: int = 0
     have_clk6: bool = False
     have_clk27: bool = False
     have_payload: bool = False
@@ -400,7 +402,7 @@ class ClassicPacket:
         out = bytearray(9 + self.payload_length)
         out[0:4] = int(self.clock).to_bytes(4, "little")
         out[4] = self.channel & 0xFF
-        out[5] = int(self.have_clk27) | (int(self.have_uap) << 1)
+        out[5] = int(self.have_clk27) | (int(self.have_nap) << 1)
         hdr = self.packet_header if self.packet_header is not None else \
             np.zeros(18, dtype=np.uint8)
         out[6] = int(air_to_host(hdr[0:7]))

@@ -196,11 +196,19 @@ class FrontEnd:
     # ------------------------------------------------------------ host
 
     def process_block(self, x: np.ndarray, slot_base: int) -> BlockResult:
-        (snr_db, n_hits, hit_tab, windows,
-         n_le, le_tab, le_windows) = self.device_step(x)
-        return self.assemble_block(snr_db, n_hits, hit_tab, windows,
-                                   n_le, le_tab, le_windows,
-                                   slot_base=slot_base)
+        from ..utils.metrics import metrics
+        with metrics.stage("device_step"):
+            (snr_db, n_hits, hit_tab, windows,
+             n_le, le_tab, le_windows) = self.device_step(x)
+        with metrics.stage("assemble"):
+            res = self.assemble_block(snr_db, n_hits, hit_tab, windows,
+                                      n_le, le_tab, le_windows,
+                                      slot_base=slot_base)
+        metrics.count("blocks", 1)
+        metrics.count("samples_in", self.step_samples)
+        metrics.count("classic_hits", len(res.hits))
+        metrics.count("le_hits", len(res.le_hits))
+        return res
 
     def assemble_block(self, snr_db, n_hits, hit_tab, windows,
                        n_le, le_tab, le_windows, *,

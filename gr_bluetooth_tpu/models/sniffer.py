@@ -91,6 +91,7 @@ class Sniffer:
             if self.writer is not None:
                 if pn.have_nap:
                     pkt.nap = pn.nap
+                    pkt.have_nap = True
                 addr = ((pn.nap << 32) if pn.have_nap else 0) | \
                     (pkt.uap << 24) | pkt.lap
                 self.writer.write_packet(pkt.tun_format(), addr)
@@ -189,4 +190,23 @@ class Sniffer:
                 self._handle_ac(res, h)
             if self.enable_le:
                 self._handle_le(res)
+            self.cursor = res.slot_base + res.n_slots
         return self.decoded
+
+    # ------------------------------------------------------- checkpoint
+
+    cursor: int = 0
+
+    def save_state(self, path: str):
+        """Checkpoint piconet registries + stream cursor (SURVEY §5: the
+        reference has no checkpointing; FHS is its only 'restore')."""
+        from ..io import checkpoint
+        checkpoint.save_state(path, cursor=self.cursor,
+                              basic_rate=self.basic_rate_piconets,
+                              low_energy=self.low_energy_piconets)
+
+    def restore_state(self, path: str) -> int:
+        """Load a checkpoint; returns the clkn cursor to resume from."""
+        from ..io import checkpoint
+        self.cursor = checkpoint.attach(self, path)
+        return self.cursor

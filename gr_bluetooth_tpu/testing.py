@@ -16,8 +16,8 @@ from .core import hop, le_ll, packets
 from .core.le_tables import LE_INDEX2CHAN
 from .ops import synth
 
-__all__ = ["PiconetSim", "make_piconet_capture", "LeConnectionSim",
-           "make_le_connection_capture"]
+__all__ = ["PiconetSim", "make_piconet_capture", "make_aliased_capture",
+           "LeConnectionSim", "make_le_connection_capture"]
 
 
 @dataclass
@@ -74,6 +74,42 @@ def make_piconet_capture(sim: PiconetSim, n_slots: int, fs: float,
         plan.append(synth.PlannedPacket(channel=ch, start_sample=start,
                                         bits=bits))
         sent.append((slot, ch, 2 if fhs else type_code))
+    samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
+                                       fs=fs, center_freq=center_freq,
+                                       noise_std=noise_std, seed=seed)
+    return samples, sent
+
+
+def make_aliased_capture(sim: PiconetSim, n_slots: int, fs: float = 28e6,
+                         center_freq: float = 2440e6, tx_slots=None,
+                         noise_std: float = 0.02, seed: int = 0):
+    """Folded-band capture: the aliased-USRP2 receiver scenario
+    (doc/README.aliasing; SURVEY §2 #28).
+
+    The modified FPGA folds all 79 MHz into the 25 observable channels
+    26..50; a packet on true hop channel ch lands at
+    aliased_channel(ch) = (ch+24) % 25 + 26 (lib/piconet_impl.cc:520-523).
+    This synthesizer places each packet at its *observed* (folded) channel,
+    so Hopper(aliased=True) must undo the fold during both CLK1-27
+    winnowing and live following.
+
+    Returns (samples, sent) with sent = [(slot, observed_channel, true_channel)].
+    """
+    sps = int(round(fs / 1e6))
+    spslot = SYMBOLS_PER_SLOT * sps
+    if tx_slots is None:
+        tx_slots = range(0, n_slots - 6, 2)
+    plan, sent = [], []
+    rng = np.random.default_rng(seed ^ 0xA11A5)
+    for slot in tx_slots:
+        true_ch = sim.channel_at(slot)
+        obs_ch = int(hop.aliased_channel(true_ch))
+        payload = bytes(rng.integers(0, 256, 9).tolist())
+        bits = sim.packet_bits(slot, 3, payload)
+        start = slot * spslot + int(rng.integers(0, 5)) * sps
+        plan.append(synth.PlannedPacket(channel=obs_ch, start_sample=start,
+                                        bits=bits))
+        sent.append((slot, obs_ch, true_ch))
     samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
                                        fs=fs, center_freq=center_freq,
                                        noise_std=noise_std, seed=seed)

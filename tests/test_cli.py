@@ -60,3 +60,19 @@ def test_cli_hopper_stdin_pcap(capture_file, tmp_path):
     with open(pcap, "rb") as f:
         magic = f.read(4)
     assert magic == b"\xd4\xc3\xb2\xa1"
+
+
+def test_cli_checkpoint_resume_stats(capture_file, tmp_path):
+    ck = str(tmp_path / "state.npz")
+    r = run_btrx(["-r", "8e6", "-f", "2441e6", "-i", capture_file, "-S",
+                  "--no-le", "--checkpoint", ck, "--stats"])
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert os.path.exists(ck)
+    assert b"checkpointed to" in r.stderr
+    assert b"stage device_step" in r.stderr     # --stats report
+    # resume from the checkpoint: piconet state (UAP) is already known, so
+    # a fresh run over the same capture decodes immediately
+    r2 = run_btrx(["-r", "8e6", "-f", "2441e6", "-i", capture_file, "-S",
+                   "--no-le", "--resume", ck])
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    assert b"resumed from" in r2.stderr

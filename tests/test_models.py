@@ -191,3 +191,30 @@ def test_sniffer_le_connection_following():
     assert len(data) >= n_data_sent - 1
     for pkt in data:
         assert pn.predict_channel(pkt.clkn) == pkt.index
+
+
+def test_hopper_aliased_mode():
+    """Aliased (folded-band) receiver: CLK1-27 reversal and live following
+    through the 79->25 channel fold (doc/README.aliasing;
+    piconet_impl.cc:520-523)."""
+    from gr_bluetooth_tpu.testing import make_aliased_capture
+
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    samples, sent = make_aliased_capture(sim, n_slots=384, fs=28e6,
+                                         center_freq=2440e6, seed=13)
+    bus = EventBus()
+    mode = Hopper(28e6, 2440e6, lap=LAP, aliased=True, bus=bus)
+    decoded = mode.run(samples)
+    pn = mode.piconet
+    assert pn.aliased
+    assert pn.have_clk27, "CLK1-27 not acquired through the fold"
+    assert pn.get_offset() == sim.clk0
+    assert len(decoded) > 0
+    by_slot = {s: (o, t) for s, o, t in sent}
+    for pkt in decoded:
+        assert pkt.lap == LAP and pkt.uap == UAP
+        obs, true = by_slot[pkt.clkn]
+        # the hopper demodulated the folded channel...
+        assert pkt.channel == obs
+        # ...predicted from the true hop channel
+        assert int(pn.hop((sim.clk0 + pkt.clkn) & 0x7FFFFFF)) == true
