@@ -318,7 +318,7 @@ def _extract_hits(mask, max_hits, payload_cols):
     in channel-major order; unused rows are filled with -1.
     """
     C, n = mask.shape
-    B = 512                                        # bucket width
+    B = 128                                        # bucket width
     total = C * n
     nb = -(-total // B)
     flat = jnp.pad(mask.reshape(-1), (0, nb * B - total))
@@ -351,23 +351,36 @@ def _pack_bits(bits):
 
 def _gather_windows(packed, chan, off, valid, width_bits):
     """(K,) channel/bit-offset -> (K, width_bits//8 + 1) uint8 packed
-    symbol windows.  16x fewer gathered elements than per-bit gathers; the
-    host unpacks (np.unpackbits) and drops the off%8 head bits."""
+    symbol windows.
+
+    vmapped dynamic_slice => one XLA gather of K *contiguous byte rows*
+    (slice_sizes=(1, wb)) instead of K*wb scalar gathers — the scalar form
+    was the single most expensive op in the whole device step on TPU.
+    The host unpacks (np.unpackbits) and drops the off%8 head bits."""
     C, nb = packed.shape
     wb = width_bits // 8 + 1
-    flat = packed.reshape(-1)
-    col = (off // 8)[:, None] + jnp.arange(wb, dtype=jnp.int32)[None, :]
-    ok = (col < nb) & valid[:, None]
-    idx = jnp.clip(chan, 0, C - 1)[:, None] * nb + jnp.clip(col, 0, nb - 1)
-    return jnp.where(ok, flat[idx], 0).astype(jnp.uint8)
+    padded = jnp.pad(packed, ((0, 1), (0, wb)))    # row C = zeros (invalid)
+    c = jnp.where(valid, chan, C).astype(jnp.int32)
+    o = jnp.clip(off // 8, 0, nb - 1).astype(jnp.int32)
+    win = jax.vmap(
+        lambda ci, oi: jax.lax.dynamic_slice(padded, (ci, oi), (1, wb))[0]
+    )(c, o)
+    return win.astype(jnp.uint8)
 
 
 def _squelch_gate(snr_db, n, delay_sym, squelch):
-    """(S, C) slot SNR -> (C, n) per-offset boolean gate."""
+    """(S, C) slot SNR -> (C, n) per-offset boolean gate.
+
+    Gather-free: slot index (t+delay)//625 is a shifted repeat, so repeat
+    the per-slot gate 625x and take a static slice (delay_sym is static)."""
     S, C = snr_db.shape
-    t = jnp.arange(n, dtype=jnp.int32)
-    slot = jnp.clip((t + delay_sym) // SYMBOLS_PER_SLOT, 0, S - 1)
-    return (snr_db.T[:, slot] >= squelch)                      # (C, n)
+    g = (snr_db.T >= squelch)                                  # (C, S)
+    rep = jnp.repeat(g, SYMBOLS_PER_SLOT, axis=1)              # (C, S*625)
+    pad = max(0, delay_sym + n - S * SYMBOLS_PER_SLOT)
+    if pad:
+        rep = jnp.concatenate([rep, jnp.repeat(rep[:, -1:], pad, axis=1)],
+                              axis=1)
+    return jax.lax.slice_in_dim(rep, delay_sym, delay_sym + n, axis=1)
 
 
 @partial(jax.jit, static_argnames=(

@@ -90,24 +90,28 @@ def _recover_symbols_sps2(d, n_sym: int, n_phases: int = 16,
         e1 = jnp.pad(e1, ((0, 0), (0, K - e1.shape[1])))
 
     half = n_phases // 2
-    vs = []
+    n_groups = (n_sym + group - 1) // group
+    pad = n_groups * group - K
+    metrics = []
     for p in range(n_phases):
         f = (p % half) / float(half)
         a, bb = (e0, o0) if p < half else (o0, e1)
-        vs.append(a * (1.0 - f) + bb * f)               # (C, K)
-
-    n_groups = (n_sym + group - 1) // group
-    pad = n_groups * group - n_sym
-    metrics = []
-    for v in vs:
-        m = jnp.pad(jnp.abs(v), ((0, 0), (0, pad)))
-        metrics.append(m.reshape(C, n_groups, group).sum(-1))   # (C, G)
+        m = jnp.abs(a * (1.0 - f) + bb * f)
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+        metrics.append(m.reshape(C, n_groups, group).sum(-1))  # (C, G)
     metric = jnp.stack(metrics, axis=1)                  # (C, P, G)
     best = jnp.argmax(metric, axis=1)                    # (C, G)
-    sel = jnp.repeat(best, group, axis=-1)[:, :n_sym]    # (C, K)
-    soft = jnp.zeros((C, K), jnp.float32)
-    for p, v in enumerate(vs):
-        soft = jnp.where(sel == p, v, soft)
+
+    # final interpolation as per-symbol coefficients: soft =
+    # (1-f)*A + f*B with A/B selected by whether the winning phase sits in
+    # [e0, o0) or [o0, e1) — 2 selects + 3 mul/adds over (C, K) instead of
+    # materializing all n_phases dense streams and select-reducing them
+    fK = jnp.repeat((best % half).astype(jnp.float32) / half, group,
+                    axis=-1)[:, :K]
+    m1 = jnp.repeat(best >= half, group, axis=-1)[:, :K]
+    a = jnp.where(m1, o0, e0)
+    bb = jnp.where(m1, e1, o0)
+    soft = a * (1.0 - fK) + bb * fK
     bits = (soft >= 0).astype(jnp.int8)
     return soft, bits
 

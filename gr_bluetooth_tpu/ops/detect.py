@@ -91,15 +91,18 @@ def _classic_detect_impl(bits, A, Cv, max_ac_errors: int, max_distance: int):
 
 
 def lap_at(bits, chan, off):
-    """LAP values at sparse (chan, offset) candidate positions: one flat
-    gather of (K, 24) bits instead of a dense (C, n) LAP plane."""
+    """LAP values at sparse (chan, offset) candidate positions: K contiguous
+    24-bit row slices (vmapped dynamic_slice -> one sliced gather) instead
+    of K*24 scalar gathers or a dense (C, n) LAP plane."""
     C, T = bits.shape
-    flat = bits.reshape(-1).astype(jnp.int32)
+    b8 = jnp.asarray(bits, jnp.int8)
+    c = jnp.clip(chan, 0, C - 1).astype(jnp.int32)
+    o = jnp.clip(off + 38, 0, T - 24).astype(jnp.int32)
+    rows = jax.vmap(
+        lambda ci, oi: jax.lax.dynamic_slice(b8, (ci, oi), (1, 24))[0]
+    )(c, o)                                            # (K, 24)
     j = jnp.arange(24, dtype=jnp.int32)[None, :]
-    col = jnp.clip(off[:, None] + 38 + j, 0, T - 1)
-    idx = jnp.clip(chan, 0, C - 1)[:, None] * T + col
-    b = flat[idx]                                      # (K, 24)
-    return (b << j).sum(-1).astype(jnp.int32)
+    return (rows.astype(jnp.int32) << j).sum(-1).astype(jnp.int32)
 
 
 def classic_detect(bits, max_ac_errors: int = 6, max_distance: int = 2):

@@ -94,7 +94,11 @@ def slot_snr(x, weights: SnrWeights):
 
 # ------------------------------------------------- stream-based (PFB path)
 
-PROBE_STRIDE = 10                       # probe energy samples per slot: 125
+PROBE_STRIDE = 40                       # probe energy samples per slot: ~31
+# the probe's 22.5 kHz band decorrelates in ~44 samples at the 2 Msps
+# channel rate, so ~31 strided samples per 625 us slot are near-independent
+# — the slot-mean noise estimate keeps its variance while the strided conv
+# does 4x less MXU work
 
 
 @dataclass(frozen=True)
@@ -120,7 +124,11 @@ class StreamSnrConsts:
 def make_stream_snr_consts(bank) -> StreamSnrConsts:
     ch_fs = bank.fs / bank.decim
     slot_ch = int(round(SYMBOLS_PER_SLOT * bank.ch_sps))
-    g = lowpass_taps(1.0, ch_fs, NOISE_FILTER_CUTOFF, NOISE_FILTER_TRANSITION)
+    # 2x the reference's 10 kHz transition: halves the tap count; kappa
+    # below renormalizes the equivalent noise bandwidth so the on/off ratio
+    # (and the 10 dB squelch meaning) is unchanged on a flat floor
+    g = lowpass_taps(1.0, ch_fs, NOISE_FILTER_CUTOFF,
+                     2.0 * NOISE_FILTER_TRANSITION)
     t = np.arange(len(g))
     theta = -2.0 * np.pi * ((NOISE_PROBE_OFFSET - CHANNEL_WIDTH) / ch_fs) * t
     taps_re = (g * np.cos(theta)).astype(np.float32)
