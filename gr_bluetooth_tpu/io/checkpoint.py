@@ -63,8 +63,11 @@ def save_state(path: str, *, cursor: int = 0,
                                                      dtype=np.int64)
         arrays[f"br/{key}/pattern_ch"] = np.asarray(pn.pattern_channels,
                                                     dtype=np.int64)
-        if pn.clock27_candidates is not None:
-            arrays[f"br/{key}/clock27"] = pn.clock27_candidates
+        # materializes the device-resident candidate mask if winnowing was
+        # mid-flight on device (ops/hop_ops.py)
+        cands = pn.get_clock27_candidates()
+        if cands is not None:
+            arrays[f"br/{key}/clock27"] = cands
         qmeta = []
         for i, pkt in enumerate(pn.pkt_queue):
             arrays[f"br/{key}/q{i}"] = np.asarray(pkt.symbols, dtype=np.uint8)

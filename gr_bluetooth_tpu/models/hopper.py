@@ -56,9 +56,9 @@ class Hopper:
         if not pn.have_clk6:
             return
         if not had_clk6:
-            pn.init_hop_reversal(self.aliased)
+            n0 = pn.init_hop_reversal(self.aliased)
             self.bus.emit("hop_reversal_started", lap=self.lap,
-                          candidates=len(pn.clock27_candidates))
+                          candidates=n0)
         pn.winnow()
         if pn.have_clk27:
             self.bus.emit("clock_acquired", lap=self.lap,

@@ -22,6 +22,7 @@ import numpy as np
 from ..constants import MAX_PATTERN_LENGTH, SEQUENCE_LENGTH
 from ..core import hop, le_ll
 from ..core.packets import ClassicPacket
+from ..ops import hop_ops
 from ..utils.log import get_logger
 
 __all__ = ["BasicRatePiconet", "LowEnergyPiconet"]
@@ -61,6 +62,7 @@ class BasicRatePiconet:
 
     clock27_candidates: np.ndarray | None = None
     _addr_consts: hop.AddressConsts | None = None
+    _winnower: object | None = field(default=None, repr=False)
 
     pkt_queue: list = field(default_factory=list)
 
@@ -160,34 +162,81 @@ class BasicRatePiconet:
 
     # ------------------------------------------------------------ CLK1-27
 
-    def init_hop_reversal(self, aliased: bool = False) -> int:
+    # below this count the numpy tail is cheaper than a device dispatch;
+    # above it the init/winnow scans run on device (ops/hop_ops.py)
+    DEVICE_WINNOW_THRESHOLD = 8192
+
+    def init_hop_reversal(self, aliased: bool = False,
+                          use_device: bool | None = None) -> int:
         """Start CLK1-27 recovery (lib/piconet_impl.cc:96-129) — lazily:
-        candidates are clock values; channels are computed on demand."""
+        candidates are clock values; channels are computed on demand.
+
+        The 2^21-clock init scan (and winnows while the candidate set is
+        large) runs on device as a masked reduction (ops/hop_ops.py);
+        once the set drops under DEVICE_WINNOW_THRESHOLD it materializes
+        to host numpy (core/hop.py), which is also the fallback path."""
         self._addr_consts = hop.address_precalc(
             ((self.uap << 24) | self.lap) & 0xFFFFFFF)
         clock6 = (self.clk_offset + self.first_pkt_time) & 0x3F
         self.aliased = aliased
-        self.clock27_candidates = hop.init_candidates(
-            int(self.pattern_channels[0]), clock6, self._addr_consts,
-            aliased=aliased, afh=self.afh)
+        if use_device is None:
+            use_device = hop_ops.available()
+        self._winnower = None
+        if use_device:
+            try:
+                self._winnower = hop_ops.DeviceWinnower(
+                    ((self.uap << 24) | self.lap) & 0xFFFFFFF, clock6,
+                    int(self.pattern_channels[0]), aliased=aliased,
+                    afh=self.afh)
+            except Exception:           # backend init failure -> host path
+                self._winnower = None
+        if self._winnower is not None:
+            n = self._winnower.count
+            self._maybe_materialize()
+        else:
+            self.clock27_candidates = hop.init_candidates(
+                int(self.pattern_channels[0]), clock6, self._addr_consts,
+                aliased=aliased, afh=self.afh)
+            n = len(self.clock27_candidates)
         self.winnowed = 0
         self.hop_reversal_inited = True
         self.have_clk27 = False
-        log.info("%d initial CLK1-27 candidates", len(self.clock27_candidates))
-        return len(self.clock27_candidates)
+        log.info("%d initial CLK1-27 candidates", n)
+        return n
+
+    def _maybe_materialize(self):
+        """Pull the device candidate set to host once it is small."""
+        if (self._winnower is not None
+                and self._winnower.count <= self.DEVICE_WINNOW_THRESHOLD):
+            self.clock27_candidates = self._winnower.candidates()
+            self._winnower = None
+
+    def get_clock27_candidates(self) -> np.ndarray | None:
+        """Candidate clocks as a host array (materializes the device mask
+        if needed — used by checkpointing)."""
+        if self._winnower is not None:
+            return self._winnower.candidates()
+        return self.clock27_candidates
 
     def winnow(self) -> int:
         """Replay recorded (offset, channel) pattern against candidates;
         flags AFH on consecutive same-channel slots (piconet_impl.cc:341-368)."""
-        n = len(self.clock27_candidates) if self.clock27_candidates is not None else 0
+        if self._winnower is not None:
+            n = self._winnower.count
+        else:
+            n = len(self.clock27_candidates) if self.clock27_candidates is not None else 0
         while self.winnowed < self.packets_observed:
             i = self.winnowed
             index = int(self.pattern_indices[i])
             channel = int(self.pattern_channels[i])
-            self.clock27_candidates = hop.winnow(
-                self.clock27_candidates, index, channel, self._addr_consts,
-                aliased=self.aliased, afh=self.afh)
-            n = len(self.clock27_candidates)
+            if self._winnower is not None:
+                n = self._winnower.winnow(index, channel)
+                self._maybe_materialize()
+            else:
+                self.clock27_candidates = hop.winnow(
+                    self.clock27_candidates, index, channel, self._addr_consts,
+                    aliased=self.aliased, afh=self.afh)
+                n = len(self.clock27_candidates)
             if i > 0:
                 last_index = int(self.pattern_indices[i - 1])
                 last_channel = int(self.pattern_channels[i - 1])
@@ -249,6 +298,7 @@ class BasicRatePiconet:
         self.have_clk27 = False
         self.clock6_candidates = np.full(64, -1, dtype=np.int64)
         self.clock27_candidates = None
+        self._winnower = None
         self.afh = self.looks_like_afh
         self.looks_like_afh = False
 

@@ -54,7 +54,8 @@ def test_hop_reversal_state_roundtrip(tmp_path):
     _, br, _ = checkpoint.load_state(path)
     q = br[LAP]
     assert q.hop_reversal_inited
-    assert (q.clock27_candidates == pn.clock27_candidates).all()
+    # the live set may still be device-resident; get_* materializes it
+    assert (q.clock27_candidates == pn.get_clock27_candidates()).all()
     for clk in (0, 12345, 0x7FFFFFF):
         assert q.hop(clk) == pn.hop(clk)
 
