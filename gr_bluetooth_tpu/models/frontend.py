@@ -85,7 +85,9 @@ class FrontEnd:
                  squelch_threshold: float = DEFAULT_SNR_DB,
                  block_slots: int = 16, max_ac_errors: int = 6,
                  use_squelch: bool = True, enable_le: bool = False,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 max_hits: int | None = None,
+                 max_le_hits: int | None = None):
         # Pallas AC-detection kernel: default on for TPU backends (it keeps
         # the (C, 68, n) window tensor out of HBM), off for CPU tests
         if use_pallas is None:
@@ -127,13 +129,21 @@ class FrontEnd:
         # has no such skew because it re-filters per slot with set_history).
         self.delay_sym = int(round(((b.ntaps - 1) / 2 + b.decim) / b.sps))
 
-        self.max_hits = max(128, 8 * block_slots)
-        self.max_le_hits = max(64, 4 * block_slots)
+        self.max_hits = max_hits or max(128, 8 * block_slots)
 
         # LE rows: bank channels sitting on the LE 2 MHz grid
         self.le_rows = [(i, ch, freq2index(2402e6 + ch * 1e6))
                         for i, ch in enumerate(b.channels)
                         if freq2index(2402e6 + ch * 1e6) >= 0]
+        # LE hit-table capacity from the false-positive budget: data-channel
+        # detection is exact-match, which random symbols pass at ~2^-9 per
+        # offset (9-bit preamble + header LUTs, lib/packet_impl.cc:1452-1527)
+        # — a busy in-band block must not push true hits out of the table.
+        # Advertising rows (distance<=2) are rarer; 4x margin covers both.
+        n_data_rows = sum(1 for r in self.le_rows if r[2] < 37) or 1
+        fp_budget = n_data_rows * self.n_sym / 512.0
+        self.max_le_hits = max_le_hits or max(
+            64, 4 * block_slots, int(4 * fp_budget) + 64)
 
         consts = dict(
             A68=jnp.asarray(detect._A68), C68v=jnp.asarray(detect._C68v),
@@ -214,10 +224,22 @@ class FrontEnd:
                        n_le, le_tab, le_windows, *,
                        slot_base: int) -> BlockResult:
         """Host-side assembly of one device step's outputs into hits."""
+        from ..utils.metrics import metrics
         snr_db = np.asarray(snr_db)
         hit_tab = np.asarray(hit_tab)
         windows = np.asarray(windows)
-        n_hits = min(int(n_hits), hit_tab.shape[0])
+        raw_hits = int(n_hits)
+        n_hits = min(raw_hits, hit_tab.shape[0])
+        if raw_hits > hit_tab.shape[0]:
+            # fixed-size extraction is channel-major: detections past the
+            # table end are LOST, not deferred (the reference's sequential
+            # scan can't drop hits — multi_sniffer_impl.cc:107-149) —
+            # surface it so operators can raise max_hits / shrink blocks
+            dropped = raw_hits - hit_tab.shape[0]
+            metrics.count("hits_dropped", dropped)
+            log.warning("classic hit table overflow: %d detections > %d "
+                        "rows; %d dropped (raise max_hits or lower "
+                        "block_slots)", raw_hits, hit_tab.shape[0], dropped)
 
         limit = self.block_slots * SYMBOLS_PER_SLOT
         hits: list[Hit] = []
@@ -242,7 +264,14 @@ class FrontEnd:
         if n_le is not None:
             le_tab = np.asarray(le_tab)
             le_windows = np.asarray(le_windows)
-            n_le = min(int(n_le), le_tab.shape[0])
+            raw_le = int(n_le)
+            n_le = min(raw_le, le_tab.shape[0])
+            if raw_le > le_tab.shape[0]:
+                dropped = raw_le - le_tab.shape[0]
+                metrics.count("le_hits_dropped", dropped)
+                log.warning("LE hit table overflow: %d detections > %d "
+                            "rows; %d dropped", raw_le, le_tab.shape[0],
+                            dropped)
             le_last: dict[int, int] = {}
             le_order = np.argsort(le_tab[:n_le, 1], kind="stable")
             for k in le_order:

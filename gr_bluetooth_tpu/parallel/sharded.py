@@ -7,23 +7,37 @@ axes are:
   * **time parallelism** (this module): a long capture is split into
     contiguous chunks across a `time` mesh axis.  Each device needs
     LOOKAHEAD_SLOTS + filter history of samples past its chunk end (the
-    overlap-save halo); a single `lax.ppermute` pulls each device's head
-    from its right neighbor over ICI — the collective equivalent of GNU
-    Radio's `set_history` (lib/multi_block.cc:100-119).
-  * **channel parallelism**: the channelizer's DFT-bin axis; covered by
-    sharding the dense detection stage's channel dimension (future work —
-    for 79 channels a single chip is far past real time, so time
-    parallelism is the axis that buys throughput on long captures).
+    overlap-save halo).  For devices 0..n-2 that halo is the head of the
+    right neighbor's chunk — one `lax.ppermute` over ICI, the collective
+    equivalent of GNU Radio's `set_history` (lib/multi_block.cc:100-119).
+    The LAST device's halo lies in the *next* superblock, so the streaming
+    driver feeds each step the next superblock's real head as a replicated
+    side input (zeros at end-of-capture, matching FrontEnd.stream's
+    zero-padded tail).  Chunk boundaries therefore see exactly the same
+    samples as the unsharded stream — hit parity is exact, not
+    approximate.
+  * **channel parallelism**: the channelizer's DFT-bin axis; for 79
+    channels a single chip is far past real time, so time parallelism is
+    the axis that buys throughput on long captures.
 
-Each device runs the full fused frontend step on (chunk + halo) and emits
-fixed-size hit tables; the host merges tables with per-shard clock bases.
-Scaling is embarrassing by construction — the only communication is the
-halo (~1.5 % of a 64-slot chunk), so samples/s scales ~linearly with
-devices.
+Each device runs the full fused frontend step — including the LE
+access-address path when the FrontEnd has it enabled — on (chunk + halo)
+and emits fixed-size hit tables; the host assembles per-shard
+BlockResults with per-shard clock bases.  Scaling is embarrassing by
+construction: the only communication is the halo (~1.5 % of a 64-slot
+chunk), so samples/s scales ~linearly with devices.
+
+`measure_scaling_efficiency` quantifies that claim: sharded samples/s over
+unsharded samples/s at equal TOTAL work.  On real multi-chip hardware every
+device adds compute, so this ratio is the per-chip scaling efficiency; on
+the virtual CPU mesh (tests, dryrun) the "devices" share the same host
+cores, so equal-total-work throughput ratio is exactly the sharding
+overhead (collectives + partitioning) — ≥0.8 means the mesh spends ≤20 %
+of its time on the halo machinery.
 """
 from __future__ import annotations
 
-from functools import partial
+import time
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +46,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.frontend import FrontEnd, BlockResult
 
-__all__ = ["ShardedFrontEnd"]
+__all__ = ["ShardedFrontEnd", "measure_scaling_efficiency"]
 
 
 class ShardedFrontEnd:
     """Run a FrontEnd's device step time-sharded over a mesh axis.
 
-    fe.block_samples = step + overlap; each device holds `step` samples and
-    receives `overlap` halo samples from its right neighbor.
+    fe.block_samples = step + overlap; each device holds `step` samples,
+    receives `overlap` halo samples from its right neighbor (ppermute),
+    and the last device receives the next superblock's head.
     """
 
     def __init__(self, fe: FrontEnd, mesh: Mesh, axis: str = "time"):
@@ -55,51 +70,151 @@ class ShardedFrontEnd:
 
         step = fe.step_samples
         overlap = fe.overlap_samples
+        with_le = bool(fe.enable_le and fe.le_rows)
 
-        def shard_fn(x_local):
-            # x_local: (2, step) this device's chunk
+        def shard_fn(x_local, next_head):
+            # x_local: (2, step) this device's chunk; next_head: (2, overlap)
+            # replicated first samples of the NEXT superblock
             halo = jax.lax.ppermute(x_local[:, :overlap], axis, perm)
+            idx = jax.lax.axis_index(axis)
+            halo = jnp.where(idx == n - 1, next_head, halo)
             xb = jnp.concatenate([x_local, halo], axis=1)
-            snr_db, n_hits, tab, windows, _, _, _ = fe._jit_step(xb)
-            return (snr_db[None], n_hits.reshape(1, 1), tab[None],
-                    windows[None])
+            (snr_db, n_hits, tab, windows,
+             n_le, le_tab, le_windows) = fe._jit_step(xb)
+            out = (snr_db[None], n_hits.reshape(1, 1), tab[None],
+                   windows[None])
+            if with_le:
+                out += (n_le.reshape(1, 1), le_tab[None], le_windows[None])
+            return out
 
+        self.with_le = with_le
+        n_out = 7 if with_le else 4
+        # check_vma=False: pallas_call (the TPU AC-detect kernel) declares
+        # no varying-mesh-axes metadata on its outputs, which the vma
+        # checker rejects inside shard_map; every block here is purely
+        # per-shard after the halo ppermute, so the check buys nothing
         self._sharded = jax.jit(jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=P(None, axis),
-            out_specs=(P(axis), P(axis), P(axis), P(axis))))
+            in_specs=(P(None, axis), P(None, None)),
+            out_specs=tuple(P(axis) for _ in range(n_out)),
+            check_vma=False))
         self._in_sharding = NamedSharding(mesh, P(None, axis))
         self.chunk_samples = step
-        self.total_samples = step * n
+        self.overlap_samples = overlap
+        self.total_samples = step * n          # one superblock
+        self.superblock_slots = fe.block_slots * n
 
     def device_put(self, x: np.ndarray):
         """Place (2, n_dev*step) float32 planes sharded along time."""
         return jax.device_put(x, self._in_sharding)
 
-    def step(self, x_sharded):
-        """One sharded step over the whole mesh; returns device arrays
-        (n_dev, S, C), (n_dev, 1), (n_dev, K, 4), (n_dev, K, W)."""
-        return self._sharded(x_sharded)
+    def step(self, x_sharded, next_head):
+        """One sharded superblock step; returns per-shard device arrays
+        (n_dev, S, C), (n_dev, 1), (n_dev, K, 4), (n_dev, K, W8)
+        [+ LE triple when enabled]."""
+        return self._sharded(x_sharded, next_head)
 
-    def process(self, samples: np.ndarray, start_clkn: int = 0):
-        """Host helper: run one sharded step and assemble per-shard
-        BlockResults (the last shard's halo wraps around — its tail hits
-        are only valid on a cyclic capture; streaming callers feed the
-        next step's head instead)."""
+    # ------------------------------------------------------------- host
+
+    def _assemble(self, out, slot_base: int) -> list[BlockResult]:
+        host = [np.asarray(o) for o in out]
+        if self.with_le:
+            snr_db, n_hits, tab, windows, n_le, le_tab, le_windows = host
+        else:
+            snr_db, n_hits, tab, windows = host
+            n_le = le_tab = le_windows = None
+        results = []
+        for d in range(self.n_dev):
+            base = slot_base + d * self.fe.block_slots
+            res = self.fe.assemble_block(
+                snr_db[d], int(n_hits[d, 0]), tab[d], windows[d],
+                int(n_le[d, 0]) if n_le is not None else None,
+                le_tab[d] if le_tab is not None else None,
+                le_windows[d] if le_windows is not None else None,
+                slot_base=base)
+            results.append(res)
+        return results
+
+    def stream(self, samples: np.ndarray, start_clkn: int = 0):
+        """Iterate BlockResults over a long capture, superblock by
+        superblock: the multi-device equivalent of FrontEnd.stream.
+
+        Each step's last-shard halo is the next superblock's real head
+        (zeros past end-of-capture, matching the unsharded tail pad), so
+        hits are identical to the unsharded stream over the same span.
+        """
         samples = np.asarray(samples)
         if np.iscomplexobj(samples):
             samples = np.stack([samples.real, samples.imag]).astype(np.float32)
-        if samples.shape[1] < self.total_samples:
-            pad = np.zeros((2, self.total_samples), np.float32)
-            pad[:, :samples.shape[1]] = samples
-            samples = pad
-        out = self.step(self.device_put(samples[:, :self.total_samples]))
-        snr_db, n_hits, tab, windows = (np.asarray(o) for o in out)
-        results = []
-        for d in range(self.n_dev):
-            base = start_clkn + d * self.fe.block_slots
-            res = self.fe.assemble_block(
-                snr_db[d], int(n_hits[d, 0]), tab[d], windows[d],
-                None, None, None, slot_base=base)
-            results.append(res)
-        return results
+        n = samples.shape[1]
+        sb, ov = self.total_samples, self.overlap_samples
+        pos = 0
+        slot_base = start_clkn
+        while pos < n:
+            chunk = samples[:, pos:pos + sb]
+            if chunk.shape[1] < sb:
+                pad = np.zeros((2, sb), np.float32)
+                pad[:, :chunk.shape[1]] = chunk
+                chunk = pad
+            head = samples[:, pos + sb:pos + sb + ov]
+            if head.shape[1] < ov:
+                hp = np.zeros((2, ov), np.float32)
+                hp[:, :head.shape[1]] = head
+                head = hp
+            out = self.step(self.device_put(chunk), jnp.asarray(head))
+            yield from self._assemble(out, slot_base)
+            pos += sb
+            slot_base += self.superblock_slots
+
+    def process(self, samples: np.ndarray, start_clkn: int = 0):
+        """Run the whole capture; returns the list of per-shard
+        BlockResults (one per device per superblock)."""
+        return list(self.stream(samples, start_clkn))
+
+
+def measure_scaling_efficiency(fe: FrontEnd, mesh: Mesh, axis: str = "time",
+                               n_superblocks: int = 2, repeats: int = 2,
+                               seed: int = 0):
+    """Sharded vs unsharded throughput at equal total work.
+
+    Returns dict(n_devices, sharded_sps, unsharded_sps, efficiency) where
+    efficiency = sharded / unsharded samples/s over the SAME total sample
+    count on the SAME hardware.  On a real mesh each device adds compute,
+    so this is per-chip scaling efficiency vs the single-chip baseline; on
+    a virtual CPU mesh the devices share host cores and the ratio isolates
+    the sharding overhead (collectives/partitioning) — the quantity the
+    BASELINE ≥80 % target bounds.
+    """
+    sfe = ShardedFrontEnd(fe, mesh, axis)
+    rng = np.random.default_rng(seed)
+    n = sfe.total_samples * n_superblocks + fe.overlap_samples
+    x = rng.standard_normal((2, n)).astype(np.float32) * 0.05
+
+    def run_unsharded():
+        t0 = time.perf_counter()
+        total = 0
+        for res in fe.stream(x[:, :sfe.total_samples * n_superblocks
+                               + fe.overlap_samples]):
+            total += res.n_slots
+        return time.perf_counter() - t0
+
+    def run_sharded():
+        t0 = time.perf_counter()
+        for _ in sfe.stream(x[:, :sfe.total_samples * n_superblocks]):
+            pass
+        return time.perf_counter() - t0
+
+    # warm both jits, then take the best of `repeats`
+    run_sharded()
+    run_unsharded()
+    ts = min(run_sharded() for _ in range(repeats))
+    tu = min(run_unsharded() for _ in range(repeats))
+    total_samples = sfe.total_samples * n_superblocks
+    sharded_sps = total_samples / ts
+    unsharded_sps = total_samples / tu
+    return {
+        "n_devices": sfe.n_dev,
+        "sharded_sps": sharded_sps,
+        "unsharded_sps": unsharded_sps,
+        "efficiency": sharded_sps / unsharded_sps,
+    }
