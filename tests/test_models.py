@@ -100,8 +100,19 @@ def test_sniffer_mode_decodes_payloads(capture):
 
 
 def test_sniffer_fhs_harvest():
-    """An FHS packet instantly restores piconet state (UAP/NAP/clock)."""
-    sim = PiconetSim(lap=LAP, uap=UAP, nap=0xBEEF, clk0=0x51234)
+    """An FHS packet instantly restores piconet state (UAP/NAP/clock).
+
+    clk0 is searched deterministically so the FHS slot's hop channel lies
+    in the observable band — this test must always RUN (it silently
+    skipped in round 1 and the key recovery path went unexercised)."""
+    bank_channels = set(Sniffer(FS, CENTER, enable_le=False).fe.bank.channels)
+    sim = None
+    for clk0 in range(0x51234, 0x51234 + 4096):
+        cand = PiconetSim(lap=LAP, uap=UAP, nap=0xBEEF, clk0=clk0)
+        if cand.channel_at(10) in bank_channels:
+            sim = cand
+            break
+    assert sim is not None, "no clk0 placing the FHS slot in band (bug)"
 
     def payload_fn(slot):
         if slot == 10:
@@ -111,9 +122,6 @@ def test_sniffer_fhs_harvest():
     samples, sent = make_piconet_capture(sim, n_slots=128, fs=FS,
                                          center_freq=CENTER, seed=4,
                                          payload_fn=payload_fn)
-    bank_channels = Sniffer(FS, CENTER, enable_le=False).fe.bank.channels
-    if sim.channel_at(10) not in bank_channels:
-        pytest.skip("FHS slot not in observable band for this seed")
     bus = EventBus()
     mode = Sniffer(FS, CENTER, bus=bus, enable_le=False)
     mode.run(samples)
