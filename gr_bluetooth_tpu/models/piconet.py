@@ -374,7 +374,11 @@ class LowEnergyPiconet:
         return self.channel_for_event(self.event_for_clkn(clkn))
 
     def observe_data(self, pkt) -> bool:
-        """Track a data-channel packet; returns CRC validity."""
+        """Track a data-channel packet; returns CRC validity.
+
+        Before the connection is seeded the validity is provisional (no
+        CRCInit is known yet) — recall() re-validates the backlog once a
+        CONNECT_REQ supplies it."""
         self.enqueue(pkt)
         ok = bool(pkt.crc_ok(self.crc_init)) if self.is_connection else \
             bool(pkt.crc_ok())
@@ -383,3 +387,27 @@ class LowEnergyPiconet:
         else:
             self.crc_bad_count += 1
         return ok
+
+    def recall(self) -> list:
+        """Re-validate buffered data packets against the now-known CRCInit.
+
+        The LE analog of the classic enqueue -> recall structure
+        (multi_sniffer_impl.cc:287-318; the reference's LE decode path is a
+        stub): data packets sniffed *before* their CONNECT_REQ were only
+        provisionally validated.  Rebuilds the CRC counters from the full
+        backlog and returns [(pkt, crc_ok)] for event emission."""
+        if not self.is_connection:
+            return []
+        recalled = []
+        self.crc_ok_count = 0
+        self.crc_bad_count = 0
+        for pkt in self.pkt_queue:
+            if pkt.index >= 37:
+                continue
+            ok = bool(pkt.crc_ok(self.crc_init))
+            if ok:
+                self.crc_ok_count += 1
+            else:
+                self.crc_bad_count += 1
+            recalled.append((pkt, ok))
+        return recalled

@@ -174,6 +174,13 @@ class Sniffer:
                                   hop=conn.hop_increment,
                                   interval=conn.interval,
                                   ch_map=conn.ch_map)
+                    # re-validate data packets sniffed before this
+                    # CONNECT_REQ against the now-known CRCInit (LE analog
+                    # of the classic recall, multi_sniffer_impl.cc:287-318)
+                    for rp, ok in conn.recall():
+                        self.bus.emit("le_recalled", aa=conn.aa,
+                                      clkn=rp.clkn, index=rp.index,
+                                      crc_ok=ok)
             else:
                 ok = pn.observe_data(pkt)
                 self.bus.emit("le_data", aa=aa, index=pkt.index,

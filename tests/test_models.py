@@ -201,6 +201,140 @@ def test_sniffer_le_connection_following():
         assert pn.predict_channel(pkt.clkn) == pkt.index
 
 
+def test_sniffer_le_recall_before_connect_req():
+    """Data packets sniffed BEFORE their CONNECT_REQ are provisionally
+    invalid (no CRCInit known), then re-validated once the connection is
+    seeded — the LE analog of the classic enqueue->recall structure
+    (multi_sniffer_impl.cc:287-318)."""
+    from gr_bluetooth_tpu.core.le_tables import LE_INDEX2CHAN
+    from gr_bluetooth_tpu.ops import synth as S
+    from gr_bluetooth_tpu.testing import LeConnectionSim
+
+    fs, center = 8e6, 2426e6          # covers adv ch 38 + data idx 10, 11
+    sim = LeConnectionSim(ch_map=(1 << 10) | (1 << 11), hop_increment=5,
+                          interval=6, win_offset=1)
+    sps = int(fs // 1e6)
+    spslot = SYMBOLS_PER_SLOT * sps
+
+    def br(index):
+        return 2 * int(LE_INDEX2CHAN[index])
+
+    rng = np.random.default_rng(7)
+    plan = []
+    # two data packets transit the stream BEFORE the CONNECT_REQ
+    for ev, slot in [(0, 4), (1, 10)]:
+        plan.append(S.PlannedPacket(
+            channel=br(sim.data_channel(ev)),
+            start_sample=slot * spslot + 8 * sps,
+            bits=sim.data_bits(ev, bytes(rng.integers(0, 256, 8).tolist()))))
+    plan.append(S.PlannedPacket(channel=br(38),
+                                start_sample=24 * spslot + 8 * sps,
+                                bits=sim.connect_req_bits()))
+    samples = S.synthesize_capture(plan, n_samples=40 * spslot, fs=fs,
+                                   center_freq=center, noise_std=0.02,
+                                   seed=8)
+    bus = EventBus()
+    mode = Sniffer(fs, center, bus=bus, enable_le=True)
+    mode.run(samples)
+
+    assert len(bus.events("le_connection")) == 1
+    # observed-at-time validation could not succeed (CRCInit unknown)
+    pre = [e for e in bus.events("le_data") if e["aa"] == sim.conn_aa]
+    assert len(pre) == 2 and not any(e["crc_ok"] for e in pre)
+    # ...but the recall re-validates them against the sniffed CRCInit
+    rec = [e for e in bus.events("le_recalled") if e["aa"] == sim.conn_aa]
+    assert len(rec) == 2 and all(e["crc_ok"] for e in rec)
+    pn = mode.low_energy_piconets[sim.conn_aa]
+    assert pn.crc_ok_count == 2 and pn.crc_bad_count == 0
+
+
+def test_hopper_afh_detect_reset_reacquire():
+    """AFH end-to-end: the master hops with the AFH same-channel variant;
+    the non-AFH winnow exhausts its candidates, consecutive same-channel
+    slots flag looks_like_afh, the exhaustion reset retries with afh=True
+    and CLK1-27 is re-acquired (lib/piconet_impl.cc:341-368, 526-547)."""
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780, afh=True)
+    n_slots = 640
+    samples, sent = make_piconet_capture(
+        sim, n_slots=n_slots, fs=FS, center_freq=CENTER, seed=21,
+        tx_slots=range(0, n_slots - 6))   # every slot: TX + same-ch response
+    bus = EventBus()
+    mode = Hopper(FS, CENTER, lap=LAP, bus=bus)
+    decoded = mode.run(samples)
+    pn = mode.piconet
+    assert pn.afh, "AFH retry never engaged"
+    assert len(bus.events("hop_reversal_started")) >= 2, \
+        "no exhaustion reset -> re-acquisition cycle"
+    assert pn.have_clk27, "CLK1-27 not re-acquired under AFH"
+    assert pn.get_offset() == sim.clk0
+    assert len(decoded) > 0
+    for pkt in decoded:
+        assert pkt.lap == LAP and pkt.uap == UAP
+        # followed on the AFH (same-channel-pairs) hop sequence
+        assert int(pn.hop((sim.clk0 + pkt.clkn) & 0x7FFFFFF)) == pkt.channel
+
+
+def test_sniffer_rf_path_type_breadth():
+    """DH1/DM3/EV3/HV1/AUX1 transit the full synth->frontend->sniffer
+    pipeline with decoded-payload assertions (round 1 drove only DM1/FHS
+    through RF; parsers: lib/packet_impl.cc:688-1160)."""
+    from gr_bluetooth_tpu.utils.bits import air_to_host
+
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    bank_channels = set(Sniffer(FS, CENTER, enable_le=False).fe.bank.channels)
+    rng = np.random.default_rng(0xD00D)
+    specials = [
+        (4, "DH1", bytes(rng.integers(0, 256, 10).tolist())),
+        (10, "DM3", bytes(rng.integers(0, 256, 30).tolist())),
+        (7, "EV3", bytes(rng.integers(0, 256, 8).tolist())),
+        (5, "HV1", bytes(rng.integers(0, 256, 10).tolist())),
+        (9, "AUX1", bytes(rng.integers(0, 256, 12).tolist())),
+    ]
+    # assign each special type to an in-band slot after slot 16 (early
+    # slots carry DM1s that lock UAP/CLK1-6 via CRC certainty)
+    assign, queue = {}, list(specials)
+    for slot in range(16, 400, 2):
+        if not queue:
+            break
+        if sim.channel_at(slot) in bank_channels:
+            assign[slot] = queue.pop(0)
+    assert not queue, "not enough in-band slots for all types"
+
+    def payload_fn(slot):
+        if slot in assign:
+            t, _, payload = assign[slot]
+            return t, payload, False
+        return 3, b"\x01\x02\x03\x04", False
+
+    n_slots = max(assign) + 8
+    samples, _ = make_piconet_capture(sim, n_slots=n_slots, fs=FS,
+                                      center_freq=CENTER, seed=17,
+                                      payload_fn=payload_fn,
+                                      tx_slots=range(0, n_slots - 6, 2))
+    mode = Sniffer(FS, CENTER, bus=EventBus(), enable_le=False)
+    decoded = mode.run(samples)
+
+    def body(pkt, nbytes, start_bit):
+        return bytes(int(air_to_host(
+            pkt.payload[start_bit + 8 * i: start_bit + 8 * (i + 1)]))
+            for i in range(nbytes))
+
+    by_slot = {p.clkn: p for p in decoded}
+    for slot, (t, name, payload) in assign.items():
+        pkt = by_slot.get(slot)
+        assert pkt is not None, f"{name} packet at slot {slot} not decoded"
+        assert pkt.packet_type == t, (pkt.type_name(), name)
+        if t in (4, 9):          # DH1/AUX1: 1-byte payload header
+            got = body(pkt, pkt.payload_length - 3, 8)
+        elif t == 10:            # DM3: 2-byte payload header
+            got = body(pkt, pkt.payload_length - 4, 16)
+        elif t == 7:             # EV3: no header, CRC-scanned length
+            got = body(pkt, pkt.payload_length - 2, 0)
+        else:                    # HV1: fixed 10 bytes, no CRC, no header
+            got = body(pkt, 10, 0)
+        assert got == payload, f"{name} payload mismatch"
+
+
 def test_hopper_aliased_mode():
     """Aliased (folded-band) receiver: CLK1-27 reversal and live following
     through the 79->25 channel fold (doc/README.aliasing;
