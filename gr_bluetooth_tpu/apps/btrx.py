@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "processing (sniffer mode)")
     p.add_argument("--no-le", action="store_true",
                    help="disable the LE detection path in sniffer mode")
+    p.add_argument("--live", action="store_true",
+                   help="treat stdin as a live stream: when processing "
+                        "falls behind, drop the OLDEST samples (bounded "
+                        "memory) and count overruns — the stand-in for a "
+                        "live SDR source (apps/btrx:88-120)")
     return p
 
 
@@ -164,22 +169,36 @@ def _run_source(opts, mode, start_clkn: int) -> int:
               file=sys.stderr)
         return 1
     elif opts.input_file == "-":
-        from ..io.sources import stream_stdin
         fe = mode.fe
+        if opts.live:
+            from ..io.sources import LiveSource
+            source = LiveSource(sys.stdin.fileno(), fe.step_samples,
+                                opts.input_shorts)
+        else:
+            from ..io.sources import stream_stdin
+            source = stream_stdin(fe.step_samples, opts.input_shorts,
+                                  nsamples)
 
         def blocks():
             import numpy as np
             carry = np.zeros((2, 0), np.float32)
             slot_base = start_clkn
-            for chunk in stream_stdin(fe.step_samples, opts.input_shorts,
-                                      nsamples):
+            for chunk in source:
                 carry = np.concatenate([carry, chunk], axis=1)
                 while carry.shape[1] >= fe.block_samples:
                     yield fe.process_block(carry[:, :fe.block_samples],
                                            slot_base)
                     carry = carry[:, fe.step_samples:]
                     slot_base += fe.block_slots
-        mode.run_blocks(blocks())
+        try:
+            mode.run_blocks(blocks())
+        finally:
+            if opts.live:
+                if source.overruns:
+                    print(f"live source: {source.overruns} overruns, "
+                          f"{source.dropped_bytes} bytes dropped",
+                          file=sys.stderr)
+                source.close()
     else:
         from ..io.sources import load_file
         x = load_file(opts.input_file, opts.input_shorts, nsamples)

@@ -60,6 +60,8 @@ def load():
     lib.bt_ring_available.restype = ctypes.c_long
     lib.bt_ring_overruns.argtypes = [ctypes.c_void_p]
     lib.bt_ring_overruns.restype = ctypes.c_int
+    lib.bt_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.bt_ring_dropped.restype = ctypes.c_uint64
     lib.bt_ring_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib

@@ -87,3 +87,85 @@ def stream_stdin(chunk_samples: int, input_shorts: bool = False,
                 buf = buf + b"\0" * (need_bytes - len(buf))
             yield convert(buf)
             produced += chunk_samples
+
+
+class LiveSource:
+    """Bounded-memory live fd source: drop-oldest ring + overrun accounting.
+
+    The TPU-host stand-in for a live SDR stream (apps/btrx:88-120 osmosdr
+    source): when the consumer falls behind, the native ring drops the
+    OLDEST samples (a live radio cannot backpressure the air) and counts
+    overruns, which are surfaced into the metrics registry.  Requires the
+    native runtime; raises RuntimeError if the toolchain is unavailable.
+    """
+
+    def __init__(self, fd: int, chunk_samples: int,
+                 input_shorts: bool = False, ring_mb: int = 64,
+                 metrics=None):
+        lib = native.load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable (live source "
+                               "needs the drop-oldest ring)")
+        self._lib = lib
+        self.input_shorts = input_shorts
+        self.itemsize = 4 if input_shorts else 8
+        self.chunk_samples = chunk_samples
+        self.need_bytes = chunk_samples * self.itemsize
+        if metrics is None:
+            from ..utils.metrics import metrics as default_metrics
+            metrics = default_metrics
+        self._metrics = metrics
+        self._reported_dropped = 0
+        self._ring = lib.bt_ring_create(os.dup(fd), ring_mb << 20, 1)
+        if not self._ring:
+            raise RuntimeError("ring allocation failed")
+
+    @property
+    def overruns(self) -> int:
+        return int(self._lib.bt_ring_overruns(self._ring))
+
+    @property
+    def dropped_bytes(self) -> int:
+        return int(self._lib.bt_ring_dropped(self._ring))
+
+    def _account(self):
+        d = self.dropped_bytes
+        new = d - self._reported_dropped
+        if new:
+            self._metrics.count("samples_dropped", new // self.itemsize)
+            self._reported_dropped = d
+
+    def __iter__(self):
+        import ctypes
+        buf = ctypes.create_string_buffer(self.need_bytes)
+        pending = b""
+        while True:
+            n = self._lib.bt_ring_pop(self._ring, buf,
+                                      self.need_bytes - len(pending))
+            if n < 0:
+                break
+            if n == 0:
+                continue
+            pending += buf.raw[:n]
+            self._account()
+            if len(pending) >= self.need_bytes:
+                chunk, pending = (pending[:self.need_bytes],
+                                  pending[self.need_bytes:])
+                if self.input_shorts:
+                    a = np.frombuffer(chunk, dtype=np.int16)
+                    a = a.astype(np.float32).reshape(-1, 2)
+                    yield np.ascontiguousarray(a.T)
+                else:
+                    yield _to_planes(np.frombuffer(chunk, dtype=np.complex64))
+        self._account()
+
+    def close(self):
+        if self._ring:
+            self._lib.bt_ring_destroy(self._ring)
+            self._ring = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

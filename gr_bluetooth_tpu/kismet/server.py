@@ -76,10 +76,15 @@ class BtbbDevServer:
             except OSError:
                 return
             # protocol enable: full snapshot to the new client
-            # (Protocol_BTBBDEV_enable -> BlitDevices(fd))
+            # (Protocol_BTBBDEV_enable -> BlitDevices(fd)).  Format under
+            # the tracker lock so a concurrent observe() can't tear a
+            # record; send outside it so a slow client can't stall the
+            # processing thread.
+            with self.tracker.lock:
+                payload = "".join(format_record(net)
+                                  for net in self.tracker.snapshot()).encode()
             try:
-                for net in self.tracker.snapshot():
-                    conn.sendall(format_record(net).encode())
+                conn.sendall(payload)
             except OSError:
                 conn.close()
                 continue
@@ -88,7 +93,8 @@ class BtbbDevServer:
 
     def tick(self):
         """Blit dirty networks to all clients (the 1 Hz timer path)."""
-        records = [format_record(n) for n in self.tracker.blit()]
+        with self.tracker.lock:
+            records = [format_record(n) for n in self.tracker.blit()]
         if not records:
             return 0
         payload = "".join(records).encode()

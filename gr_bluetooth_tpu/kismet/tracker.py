@@ -17,6 +17,7 @@ plus aggregate (sum) lat/lon/alt and point count for centroid computation.
 """
 from __future__ import annotations
 
+import threading
 import time as _time
 from dataclasses import dataclass, field
 
@@ -123,35 +124,43 @@ class TrackerBluetooth:
         self.first_nets: dict[int, BluetoothNetwork] = {}
         self.tracked_nets: dict[int, BluetoothNetwork] = {}
         self.n_sightings = 0
+        # observe() runs on the processing thread while the BTBBDEV
+        # server's accept thread snapshots/formats records (the reference
+        # guards its equivalent queue with a pthread mutex,
+        # bluetooth_kismet_block.cc:107-120)
+        self.lock = threading.RLock()
 
     def observe(self, lap: int, gps: GpsFix | None = None,
                 when: float | None = None) -> BluetoothNetwork | None:
         """One LAP sighting; returns the network if tracked (>= 2 sightings),
         None while still in the single-sighting quarantine."""
-        self.n_sightings += 1
-        now = self._clock() if when is None else when
-        net = self.first_nets.get(lap)
-        if net is None:
-            net = BluetoothNetwork(lap=lap, first_time=now)
-            self.first_nets[lap] = net
-        elif lap not in self.tracked_nets:
-            self.tracked_nets[lap] = net
-        net.dirty = True
-        net.last_time = now
-        net.num_packets += 1
-        if gps is not None:
-            net.gpsdata.add(gps)
-        return self.tracked_nets.get(lap)
+        with self.lock:
+            self.n_sightings += 1
+            now = self._clock() if when is None else when
+            net = self.first_nets.get(lap)
+            if net is None:
+                net = BluetoothNetwork(lap=lap, first_time=now)
+                self.first_nets[lap] = net
+            elif lap not in self.tracked_nets:
+                self.tracked_nets[lap] = net
+            net.dirty = True
+            net.last_time = now
+            net.num_packets += 1
+            if gps is not None:
+                net.gpsdata.add(gps)
+            return self.tracked_nets.get(lap)
 
     def blit(self) -> list[BluetoothNetwork]:
         """Dirty tracked networks; clears dirty (timer blit path)."""
-        out = []
-        for net in self.tracked_nets.values():
-            if net.dirty:
-                net.dirty = False
-                out.append(net)
-        return out
+        with self.lock:
+            out = []
+            for net in self.tracked_nets.values():
+                if net.dirty:
+                    net.dirty = False
+                    out.append(net)
+            return out
 
     def snapshot(self) -> list[BluetoothNetwork]:
         """All tracked networks regardless of dirty (enable path)."""
-        return list(self.tracked_nets.values())
+        with self.lock:
+            return list(self.tracked_nets.values())

@@ -125,14 +125,20 @@ struct BtRing {
   unsigned char *buf;
   size_t cap;
   std::atomic<uint64_t> head{0};  // written by producer
-  std::atomic<uint64_t> tail{0};  // written by consumer
+  std::atomic<uint64_t> tail{0};  // consumer advances; in drop mode the
+                                  // producer also CASes it forward (see below)
   std::atomic<int> eof{0};
-  std::atomic<int> overrun{0};
+  std::atomic<int> overrun{0};          // drop events
+  std::atomic<uint64_t> dropped{0};     // dropped bytes
   int fd;
   int drop_on_full;  // 1 = drop oldest (live source), 0 = backpressure
   std::thread thr;
 };
 
+// Drop-oldest semantics make the ring no longer strictly SPSC: both sides
+// move `tail`, so both use compare-exchange.  If the producer steals a
+// region the consumer is mid-copy, the consumer's CAS fails and it retries
+// (seqlock-style: torn reads are discarded, never returned).
 static void bt_ring_pump(BtRing *r) {
   unsigned char tmp[1 << 16];
   for (;;) {
@@ -143,17 +149,25 @@ static void bt_ring_pump(BtRing *r) {
       uint64_t head = r->head.load(std::memory_order_relaxed);
       uint64_t tail = r->tail.load(std::memory_order_acquire);
       size_t free_b = r->cap - (size_t)(head - tail);
-      if (free_b == 0) {
+      size_t chunk = (size_t)n - off;
+      if (chunk > r->cap) chunk = r->cap;
+      if (free_b == 0 || (r->drop_on_full && free_b < chunk)) {
         if (r->drop_on_full) {
-          // live mode: advance tail (drop oldest), count overruns
-          r->tail.store(tail + (n - off), std::memory_order_release);
-          r->overrun.fetch_add(1);
-          continue;
+          // live mode: drop exactly the shortfall of oldest bytes so this
+          // chunk fits; CAS so a concurrent pop is never overwritten AND
+          // acknowledged (its CAS fails and it retries instead)
+          uint64_t want_tail = head + chunk - r->cap;
+          if (r->tail.compare_exchange_strong(
+                  tail, want_tail, std::memory_order_acq_rel,
+                  std::memory_order_relaxed)) {
+            r->dropped.fetch_add(want_tail - tail);
+            r->overrun.fetch_add(1);
+          }
+          continue;  // re-read head/tail
         }
         std::this_thread::yield();
         continue;
       }
-      size_t chunk = (size_t)n - off;
       if (chunk > free_b) chunk = free_b;
       size_t pos = (size_t)(head % r->cap);
       size_t first = r->cap - pos;
@@ -180,18 +194,24 @@ void *bt_ring_create(int fd, size_t capacity, int drop_on_full) {
 // Pop up to n bytes; returns bytes copied (0 if empty; -1 on EOF+empty).
 long bt_ring_pop(void *handle, unsigned char *out, size_t n) {
   BtRing *r = (BtRing *)handle;
-  uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  uint64_t head = r->head.load(std::memory_order_acquire);
-  size_t avail = (size_t)(head - tail);
-  if (avail == 0) return r->eof.load() ? -1 : 0;
-  if (n > avail) n = avail;
-  size_t pos = (size_t)(tail % r->cap);
-  size_t first = r->cap - pos;
-  if (first > n) first = n;
-  memcpy(out, r->buf + pos, first);
-  if (n > first) memcpy(out + first, r->buf, n - first);
-  r->tail.store(tail + n, std::memory_order_release);
-  return (long)n;
+  for (;;) {
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    size_t avail = (size_t)(head - tail);
+    if (avail == 0) return r->eof.load() ? -1 : 0;
+    size_t take = n > avail ? avail : n;
+    size_t pos = (size_t)(tail % r->cap);
+    size_t first = r->cap - pos;
+    if (first > take) first = take;
+    memcpy(out, r->buf + pos, first);
+    if (take > first) memcpy(out + first, r->buf, take - first);
+    // in drop mode the producer may have advanced tail past our copy
+    // region (overwriting it); the CAS detects that and we retry
+    if (r->tail.compare_exchange_strong(tail, tail + take,
+                                        std::memory_order_acq_rel,
+                                        std::memory_order_relaxed))
+      return (long)take;
+  }
 }
 
 long bt_ring_available(void *handle) {
@@ -201,6 +221,11 @@ long bt_ring_available(void *handle) {
 
 int bt_ring_overruns(void *handle) {
   return ((BtRing *)handle)->overrun.load();
+}
+
+// Total bytes dropped by the live (drop-oldest) mode.
+uint64_t bt_ring_dropped(void *handle) {
+  return ((BtRing *)handle)->dropped.load();
 }
 
 void bt_ring_destroy(void *handle) {
