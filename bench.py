@@ -20,7 +20,20 @@ Methodology notes:
 Baseline (BASELINE.md): the reference publishes no numbers; the target of
 record is real-time full-band = 80 Msps/chip. vs_baseline = value / 80e6.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A second, ingest-included figure is measured with a production-shaped
+double-buffered pipeline: the host sends only each block's NEW step samples
+as int16 (the SDR wire format — USRP ships 16-bit IQ, apps/btrx:134-138
+`-s` input-shorts path), device_put of block i+1 overlaps compute of block
+i, and the device keeps the overlap-save carry + does the int16->float
+conversion.  On this rig the host->device link is a ~0.1 GB/s tunnel, so
+the ingest-included number measures the tunnel, not the design: the
+pipeline needs step_samples*4 B per 64-slot block (12.8 MB / 40 ms of air
+time = 0.32 GB/s sustained) — below any production PCIe/DMA link (>=8
+GB/s) but ~3x above this tunnel.  Both numbers are reported; vs_baseline
+stays keyed to the device-compute bound.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"ingest_samples_per_s", "ingest_vs_baseline", "ingest_note"}.
 """
 import json
 import sys
@@ -49,6 +62,46 @@ def make_stream_runner(fe, n_distinct: int):
         return jax.lax.fori_loop(0, n_blocks, body, jnp.float32(0))
 
     return run
+
+
+def make_ingest_runner(fe):
+    """Jitted step taking (carry, new int16 step samples): the device keeps
+    the overlap-save tail and converts int16->float32, so the host->device
+    transfer is exactly step_samples of wire-format (short) IQ per block."""
+    import jax
+    import jax.numpy as jnp
+
+    overlap = fe.block_samples - fe.step_samples
+
+    @jax.jit
+    def step(carry, xi_new):
+        x_new = xi_new.astype(jnp.float32) * (1.0 / 32768.0)
+        xb = jnp.concatenate([carry, x_new], axis=1)
+        _, n_hits, tab, win, _, _, _ = fe._jit_step(xb)
+        acc = (n_hits.astype(jnp.float32) + tab[0, 1].astype(jnp.float32)
+               + win[0, 0].astype(jnp.float32))
+        return xb[:, -overlap:], acc
+
+    return step
+
+
+def run_ingest(step, carry0, blocks, k):
+    """Double-buffered host->device streaming: device_put of block i+1 is
+    dispatched before awaiting step i, overlapping DMA with compute (two
+    blocks in flight).  Returns wall seconds for k blocks."""
+    import jax
+    n = len(blocks)
+    accs = []
+    carry = carry0
+    d = jax.device_put(blocks[0])
+    t0 = time.time()
+    for i in range(k):
+        d_next = jax.device_put(blocks[(i + 1) % n])   # async H2D prefetch
+        carry, acc = step(carry, d)                    # async compute
+        accs.append(acc)
+        d = d_next
+    jax.block_until_ready(accs)
+    return time.time() - t0
 
 
 def make_parity_runner(fe, n_distinct: int):
@@ -115,6 +168,20 @@ def main():
     dt_block = (t2 - t1) / N1
     samples_per_s = fe.step_samples / dt_block
 
+    # ingest-included: int16 wire blocks, double-buffered H2D vs compute
+    xi = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    blocks = [np.ascontiguousarray(
+        xi[:, fe.overlap_samples + i * fe.step_samples:
+           fe.overlap_samples + (i + 1) * fe.step_samples])
+        for i in range(N_DISTINCT - 1)]
+    ingest_step = make_ingest_runner(fe)
+    carry0 = jax.device_put(x[:, :fe.overlap_samples])
+    K1 = 16
+    run_ingest(ingest_step, carry0, blocks, 2)         # compile + settle
+    ti1 = run_ingest(ingest_step, carry0, blocks, K1)
+    ti2 = run_ingest(ingest_step, carry0, blocks, 2 * K1)
+    ingest_sps = fe.step_samples / ((ti2 - ti1) / K1)
+
     # parity (untimed): every planted packet detected; slot 0 excluded
     # (the bit stream leads the input by the filter group delay, so a
     # packet in the capture's first symbols starts before bit index 0 —
@@ -145,6 +212,12 @@ def main():
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / 80e6, 2),
+        "ingest_samples_per_s": round(ingest_sps, 1),
+        "ingest_vs_baseline": round(ingest_sps / 80e6, 2),
+        "ingest_note": "int16 wire blocks, double-buffered device_put "
+                       "overlapped with compute; this rig's host->device "
+                       "tunnel is ~0.1 GB/s (needs 0.32 GB/s for real time "
+                       "at int16), so this bounds the tunnel, not the chip",
     }))
 
 
