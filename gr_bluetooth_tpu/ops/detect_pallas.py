@@ -108,7 +108,7 @@ def _gated_error_padded(bits_i32, *, nt: int, interpret: bool):
         partial(_kernel, nt=nt),
         out_shape=jax.ShapeDtypeStruct((c_pad, n_tiles * nt), jnp.int32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_C_TILE, nt), lambda ci, ti: (ci, ti),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
