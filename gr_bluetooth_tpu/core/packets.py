@@ -599,7 +599,7 @@ def encode_classic_packet(lap: int, uap: int, clock: int, type_code: int,
 
     Supported payload types: NULL/POLL (no payload), DM1/DM3/DM5 (FEC2/3 +
     CRC), DH1/DH3/DH5/AUX1 (no FEC), HV1/HV2/HV3 (fixed length, no CRC),
-    EV3/EV5 (CRC, no FEC).  FHS: use encode_fhs_packet.
+    EV3/EV5 (CRC, no FEC), EV4 (CRC, FEC2/3).  FHS: use encode_fhs_packet.
     `clock` is the piconet CLK1-6 (or CLK1-27; low 6 bits whiten)."""
     ac = access_code.ac_bits(lap)
     hdr18 = _encode_header_bits(lt_addr, type_code, flow, 0, 0, uap)
@@ -628,6 +628,9 @@ def encode_classic_packet(lap: int, uap: int, clock: int, type_code: int,
     elif type_code in (7, 13):       # EV3 / EV5
         hdr_bits = np.zeros(0, dtype=np.uint8)
         use_fec23, use_fec13, crc_needed = False, False, True
+    elif type_code == 12:            # EV4: CRC, FEC 2/3, no payload header
+        hdr_bits = np.zeros(0, dtype=np.uint8)
+        use_fec23, use_fec13, crc_needed = True, False, True
     elif type_code == 5:             # HV1: 10 bytes, FEC 1/3, no CRC
         hdr_bits = np.zeros(0, dtype=np.uint8)
         use_fec23, use_fec13, crc_needed = False, True, False

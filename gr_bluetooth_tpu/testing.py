@@ -17,6 +17,7 @@ from .core.le_tables import LE_INDEX2CHAN
 from .ops import synth
 
 __all__ = ["PiconetSim", "make_piconet_capture", "make_aliased_capture",
+           "make_multi_piconet_capture",
            "LeConnectionSim", "make_le_connection_capture"]
 
 
@@ -110,6 +111,35 @@ def make_aliased_capture(sim: PiconetSim, n_slots: int, fs: float = 28e6,
         plan.append(synth.PlannedPacket(channel=obs_ch, start_sample=start,
                                         bits=bits))
         sent.append((slot, obs_ch, true_ch))
+    samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
+                                       fs=fs, center_freq=center_freq,
+                                       noise_std=noise_std, seed=seed)
+    return samples, sent
+
+
+def make_multi_piconet_capture(sims, n_slots: int, fs: float,
+                               center_freq: float, noise_std: float = 0.02,
+                               seed: int = 0, jitter_symbols: int = 5):
+    """Several masters interleaved in one capture: sim k transmits on slots
+    congruent to k modulo len(sims) (TDD-style, so packets never overlap in
+    time) at its own hop channel — ground truth for the sniffer's
+    all-piconets-concurrently contract (multi_sniffer_impl.cc:82-166).
+
+    Returns (samples, sent) with sent = [(slot, channel, lap)]."""
+    sps = int(round(fs / 1e6))
+    spslot = SYMBOLS_PER_SLOT * sps
+    plan, sent = [], []
+    rng = np.random.default_rng(seed ^ 0x3A7)
+    k = len(sims)
+    for slot in range(0, n_slots - 6):
+        sim = sims[slot % k]
+        ch = sim.channel_at(slot)
+        payload = bytes(rng.integers(0, 256, 9).tolist())
+        bits = sim.packet_bits(slot, 3, payload)
+        start = slot * spslot + int(rng.integers(0, jitter_symbols)) * sps
+        plan.append(synth.PlannedPacket(channel=ch, start_sample=start,
+                                        bits=bits))
+        sent.append((slot, ch, sim.lap))
     samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
                                        fs=fs, center_freq=center_freq,
                                        noise_std=noise_std, seed=seed)

@@ -335,6 +335,106 @@ def test_sniffer_rf_path_type_breadth():
         assert got == payload, f"{name} payload mismatch"
 
 
+def test_sniffer_multi_piconet_concurrent():
+    """Two piconets interleaved in one capture: the sniffer discovers both
+    UAPs independently and decodes both streams with no cross-talk — the
+    reference's headline contract of decoding everything from every piconet
+    concurrently (multi_sniffer_impl.cc:82-166)."""
+    from gr_bluetooth_tpu.testing import make_multi_piconet_capture
+
+    LAP2, UAP2 = 0x5A3F71, 0xC3
+    sims = [PiconetSim(lap=LAP, uap=UAP, clk0=0x12780),
+            PiconetSim(lap=LAP2, uap=UAP2, clk0=0x51234)]
+    samples, sent = make_multi_piconet_capture(sims, n_slots=256, fs=FS,
+                                               center_freq=CENTER, seed=23)
+    bus = EventBus()
+    mode = Sniffer(FS, CENTER, bus=bus, enable_le=False)
+    decoded = mode.run(samples)
+
+    found = {e["lap"]: e["uap"] for e in bus.events("uap_found")}
+    assert found == {LAP: UAP, LAP2: UAP2}
+
+    by_lap = {}
+    for p in decoded:
+        by_lap.setdefault(p.lap, []).append(p)
+    assert set(by_lap) == {LAP, LAP2}
+    chan_by_slot = {s: (c, lap) for s, c, lap in sent}
+    for sim in sims:
+        pkts = by_lap[sim.lap]
+        assert len(pkts) >= 3, f"too few decodes for {sim.lap:06x}"
+        pn = mode.basic_rate_piconets[sim.lap]
+        for p in pkts:
+            assert p.uap == sim.uap            # no cross-contamination
+            ch, lap = chan_by_slot[p.clkn]
+            assert lap == sim.lap and p.channel == ch
+            # recovered CLK1-6 offset maps onto this master's clock
+            assert ((p.clkn + pn.clk_offset) & 0x3F) == \
+                ((sim.clk0 + p.clkn) & 0x3F)
+
+
+def test_sniffer_rf_path_multislot_types():
+    """Multi-slot + remaining packet types (DM5/DH5/EV4/EV5/HV2/DH3)
+    through the full RF pipeline with payload assertions
+    (parsers: lib/packet_impl.cc:688-1160; EV4 blockwise FEC2/3 scan
+    :915-968).  HV3 shares type code 7 with EV3 (already covered)."""
+    from gr_bluetooth_tpu.utils.bits import air_to_host
+
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    bank_channels = set(Sniffer(FS, CENTER, enable_le=False).fe.bank.channels)
+    rng = np.random.default_rng(0xE44)
+    specials = [
+        (14, "DM5", bytes(rng.integers(0, 256, 80).tolist())),
+        (15, "DH5", bytes(rng.integers(0, 256, 120).tolist())),
+        (12, "EV4", bytes(rng.integers(0, 256, 60).tolist())),
+        (13, "EV5", bytes(rng.integers(0, 256, 100).tolist())),
+        (6, "HV2", bytes(rng.integers(0, 256, 20).tolist())),
+        (11, "DH3", bytes(rng.integers(0, 256, 60).tolist())),
+    ]
+    # 6-slot spacing: 5-slot packets must not overlap the next transmission
+    assign, queue = {}, list(specials)
+    slot = 20
+    while queue and slot < 800:
+        if sim.channel_at(slot) in bank_channels:
+            assign[slot] = queue.pop(0)
+            slot += 6
+        else:
+            slot += 1
+    assert not queue, "not enough in-band slots for all types"
+
+    def payload_fn(slot):
+        if slot in assign:
+            t, _, payload = assign[slot]
+            return t, payload, False
+        return 3, b"\x01\x02\x03\x04", False
+
+    tx_slots = sorted(list(range(0, 16, 2)) + list(assign))
+    n_slots = max(assign) + 8
+    samples, _ = make_piconet_capture(sim, n_slots=n_slots, fs=FS,
+                                      center_freq=CENTER, seed=29,
+                                      payload_fn=payload_fn,
+                                      tx_slots=tx_slots)
+    mode = Sniffer(FS, CENTER, bus=EventBus(), enable_le=False)
+    decoded = mode.run(samples)
+
+    def body(pkt, nbytes, start_bit):
+        return bytes(int(air_to_host(
+            pkt.payload[start_bit + 8 * i: start_bit + 8 * (i + 1)]))
+            for i in range(nbytes))
+
+    by_slot = {p.clkn: p for p in decoded}
+    for slot, (t, name, payload) in assign.items():
+        pkt = by_slot.get(slot)
+        assert pkt is not None, f"{name} packet at slot {slot} not decoded"
+        assert pkt.packet_type == t, (pkt.type_name(), name)
+        if t in (11, 14, 15):    # DH3/DM5/DH5: 2-byte payload header
+            got = body(pkt, pkt.payload_length - 4, 16)
+        elif t in (12, 13):      # EV4/EV5: no header, CRC-scanned length
+            got = body(pkt, pkt.payload_length - 2, 0)
+        else:                    # HV2: fixed 20 bytes, no CRC, no header
+            got = body(pkt, 20, 0)
+        assert got == payload, f"{name} payload mismatch"
+
+
 def test_hopper_aliased_mode():
     """Aliased (folded-band) receiver: CLK1-27 reversal and live following
     through the 79->25 channel fold (doc/README.aliasing;
