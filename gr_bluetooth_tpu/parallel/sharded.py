@@ -108,6 +108,19 @@ class ShardedFrontEnd:
         """Place (2, n_dev*step) float32 planes sharded along time."""
         return jax.device_put(x, self._in_sharding)
 
+    def device_put_local(self, local: np.ndarray):
+        """Multi-host (DCN) ingest: build the globally sharded superblock
+        from per-process chunks without gathering on any host.
+
+        Contract: with P processes, process p holds the CONTIGUOUS time
+        chunk [p*total/P, (p+1)*total/P) of the superblock — i.e. each
+        host's SDR/file feeder streams a distinct time span and ships it
+        straight to its own chips; only the ~1.5 % ppermute halo crosses
+        ICI/DCN.  Run under `jax.distributed.initialize()`; on a single
+        process this is identical to device_put."""
+        return jax.make_array_from_process_local_data(
+            self._in_sharding, np.asarray(local, np.float32))
+
     def step(self, x_sharded, next_head):
         """One sharded superblock step; returns per-shard device arrays
         (n_dev, S, C), (n_dev, 1), (n_dev, K, 4), (n_dev, K, W8)

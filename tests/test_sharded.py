@@ -106,3 +106,18 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = fn(*args)
     jax.block_until_ready(out)
+
+
+def test_device_put_local_matches_device_put(mesh):
+    """Multi-host ingest contract: make_array_from_process_local_data on
+    per-process chunks must build the same sharded superblock as a plain
+    sharded device_put (on 1 process, local chunk == whole superblock)."""
+    fe = FrontEnd(4e6, CENTER, block_slots=8)
+    sfe = ShardedFrontEnd(fe, mesh)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, sfe.total_samples)).astype(np.float32) * 0.1
+    head = np.zeros((2, sfe.overlap_samples), np.float32)
+    out_a = sfe.step(sfe.device_put(x), head)
+    out_b = sfe.step(sfe.device_put_local(x), head)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
