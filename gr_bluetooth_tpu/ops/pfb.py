@@ -112,6 +112,39 @@ def make_pfb_bank(fs: float, center_freq: float) -> PfbBank:
                    h0, h1, dft_c, dft_s, bin_odd, float(demod_gain))
 
 
+_DEINT_TF = 1024          # frames per deinterleave tile
+
+
+def _deint_kernel(x_ref, o_ref):
+    o_ref[...] = jnp.transpose(x_ref[...], (0, 2, 1))
+
+
+def _deinterleave(x2, D: int):
+    """(2, n_x*D) -> (2, D, n_x): xp[p, d, j] = x[p, j*D + d].
+
+    XLA's lowering of this 26 MB relayout (reshape+transpose or strided
+    slices) costs ~1.3 ms on v5e — as much as the rest of the filterbank
+    combined — so on TPU it runs as a tiled Pallas transpose at copy speed.
+    """
+    n_x = x2.shape[1] // D
+    x4 = x2.reshape(2, n_x, D)
+    if jax.default_backend() not in ("tpu",):
+        return x4.transpose(0, 2, 1)
+    from jax.experimental import pallas as pl
+    pad = (-n_x) % _DEINT_TF
+    if pad:
+        x4 = jnp.pad(x4, ((0, 0), (0, pad), (0, 0)))
+    n_p = n_x + pad
+    out = pl.pallas_call(
+        _deint_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, D, n_p), x2.dtype),
+        grid=(n_p // _DEINT_TF,),
+        in_specs=[pl.BlockSpec((2, _DEINT_TF, D), lambda i: (0, i, 0))],
+        out_specs=pl.BlockSpec((2, D, _DEINT_TF), lambda i: (0, 0, i)),
+    )(x4)
+    return out[:, :, :n_x] if pad else out
+
+
 @partial(jax.jit, static_argnames=("D",))
 def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
     """x_ri: (2, N) float32 IQ planes -> (yr, yi) each (C, n_frames).
@@ -119,25 +152,33 @@ def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
     Frame n covers input samples [nD, nD + 2QD): identical window placement
     to the VALID strided conv, so downstream group-delay accounting is
     unchanged.
+
+    Layout: frames live on the LANE axis throughout — the branch FIR's
+    shifted views then slide along lanes with all 128 lanes busy (the
+    frame-major (2, n, D) form keeps only D=M/2 lanes live and puts the
+    shifts on sublanes), and the DFT matmul (C, M) @ (M, n) hits the MXU
+    with the long axis on lanes and no output transpose.
     """
     Q = h0.shape[0]
     n_x = x_ri.shape[1] // D
-    xp = x_ri[:, : n_x * D].reshape(2, n_x, D)         # xp[:, j, p] = x[jD+p]
+    # xp[p, d, j] = x[p, j*D + d]: branches on sublanes, frames on lanes
+    xp = _deinterleave(x_ri[:, : n_x * D], D)
     n = n_x - 2 * Q
-    # branch FIRs as Q fused shifted multiply-adds (VPU)
-    v0 = jnp.zeros((2, n, D), jnp.float32)
-    v1 = jnp.zeros((2, n, D), jnp.float32)
+    # branch FIRs as Q fused shifted multiply-adds (VPU, lane-major)
+    v0 = jnp.zeros((2, D, n), jnp.float32)
+    v1 = jnp.zeros((2, D, n), jnp.float32)
     for q in range(Q):
-        v0 = v0 + xp[:, 2 * q: 2 * q + n, :] * h0[q][None, None, :]
-        v1 = v1 + xp[:, 2 * q + 1: 2 * q + 1 + n, :] * h1[q][None, None, :]
-    u = jnp.concatenate([v0, v1], axis=-1)             # (2, n, M)
-    # M-point DFT across branches, bins pre-selected (MXU)
-    yr = u[0] @ dft_c + u[1] @ dft_s                   # (n, C)
-    yi = u[1] @ dft_c - u[0] @ dft_s
+        v0 = v0 + xp[:, :, 2 * q: 2 * q + n] * h0[q][None, :, None]
+        v1 = v1 + xp[:, :, 2 * q + 1: 2 * q + 1 + n] * h1[q][None, :, None]
+    u = jnp.concatenate([v0, v1], axis=1)              # (2, M, n)
+    # M-point DFT across branches, bins pre-selected (MXU):
+    # (C, M) @ (M, n) with frames staying on lanes
+    yr = dft_c.T @ u[0] + dft_s.T @ u[1]               # (C, n)
+    yi = dft_c.T @ u[1] - dft_s.T @ u[0]
     # rotator e^{-j pi c n} = (-1)^{cn}: flip odd bins at odd frames
     n_odd = (jnp.arange(n, dtype=jnp.int32) & 1).astype(jnp.float32)
-    sign = 1.0 - 2.0 * (n_odd[:, None] * bin_odd[None, :])
-    return (yr * sign).T, (yi * sign).T
+    sign = 1.0 - 2.0 * (bin_odd[:, None] * n_odd[None, :])
+    return yr * sign, yi * sign
 
 
 def pfb_channelize(x, bank: PfbBank):
