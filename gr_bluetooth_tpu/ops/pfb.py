@@ -125,24 +125,34 @@ def _deinterleave(x2, D: int):
     XLA's lowering of this 26 MB relayout (reshape+transpose or strided
     slices) costs ~1.3 ms on v5e — as much as the rest of the filterbank
     combined — so on TPU it runs as a tiled Pallas transpose at copy speed.
+
+    The branch keys off the actual LOWERING platform (lax.platform_dependent)
+    rather than the process-wide default backend, so a trace compiled for a
+    CPU device while TPU is the default (or an AOT lowering) never emits the
+    TPU-only pallas_call for the wrong platform.
     """
     n_x = x2.shape[1] // D
     x4 = x2.reshape(2, n_x, D)
-    if jax.default_backend() not in ("tpu",):
+
+    def xla_path(x4):
         return x4.transpose(0, 2, 1)
-    from jax.experimental import pallas as pl
-    pad = (-n_x) % _DEINT_TF
-    if pad:
-        x4 = jnp.pad(x4, ((0, 0), (0, pad), (0, 0)))
-    n_p = n_x + pad
-    out = pl.pallas_call(
-        _deint_kernel,
-        out_shape=jax.ShapeDtypeStruct((2, D, n_p), x2.dtype),
-        grid=(n_p // _DEINT_TF,),
-        in_specs=[pl.BlockSpec((2, _DEINT_TF, D), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((2, D, _DEINT_TF), lambda i: (0, 0, i)),
-    )(x4)
-    return out[:, :, :n_x] if pad else out
+
+    def tpu_path(x4):
+        from jax.experimental import pallas as pl
+        pad = (-n_x) % _DEINT_TF
+        if pad:
+            x4 = jnp.pad(x4, ((0, 0), (0, pad), (0, 0)))
+        n_p = n_x + pad
+        out = pl.pallas_call(
+            _deint_kernel,
+            out_shape=jax.ShapeDtypeStruct((2, D, n_p), x2.dtype),
+            grid=(n_p // _DEINT_TF,),
+            in_specs=[pl.BlockSpec((2, _DEINT_TF, D), lambda i: (0, i, 0))],
+            out_specs=pl.BlockSpec((2, D, _DEINT_TF), lambda i: (0, 0, i)),
+        )(x4)
+        return out[:, :, :n_x] if pad else out
+
+    return jax.lax.platform_dependent(x4, tpu=tpu_path, default=xla_path)
 
 
 @partial(jax.jit, static_argnames=("D",))
