@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reverse hopping sequence to determine master clock")
     p.add_argument("-s", "--input-shorts", action="store_true",
                    help="input interleaved shorts instead of complex floats")
+    p.add_argument("-8", "--input-bytes", action="store_true",
+                   help="input interleaved int8 IQ (quarter the wire "
+                        "bandwidth of complex floats; the on-the-wire "
+                        "analog of the reference's aliasing fidelity/"
+                        "coverage trade, doc/README.aliasing)")
     p.add_argument("-t", "--snr", type=float, default=10.0,
                    help="SNR squelch threshold in dB (default 10.0)")
     p.add_argument("-w", "--wireshark", action="store_true",
@@ -169,29 +174,26 @@ def _run_source(opts, mode, start_clkn: int) -> int:
               file=sys.stderr)
         return 1
     elif opts.input_file == "-":
+        # production ingest: raw wire chunks, device-side conversion +
+        # overlap-save carry, double-buffered H2D (io/ingest.py); clkn
+        # stays locked to air time across live overruns (clock slips)
         fe = mode.fe
+        wire = ("i8" if opts.input_bytes else
+                "i16" if opts.input_shorts else "f32")
+        from ..io.ingest import PipelinedIngest, live_chunks
+        ingest = PipelinedIngest(fe, wire)
         if opts.live:
             from ..io.sources import LiveSource
             source = LiveSource(sys.stdin.fileno(), fe.step_samples,
-                                opts.input_shorts)
+                                wire=wire)
+            chunks = live_chunks(source, fe.samples_per_slot)
         else:
-            from ..io.sources import stream_stdin
-            source = stream_stdin(fe.step_samples, opts.input_shorts,
-                                  nsamples)
-
-        def blocks():
-            import numpy as np
-            carry = np.zeros((2, 0), np.float32)
-            slot_base = start_clkn
-            for chunk in source:
-                carry = np.concatenate([carry, chunk], axis=1)
-                while carry.shape[1] >= fe.block_samples:
-                    yield fe.process_block(carry[:, :fe.block_samples],
-                                           slot_base)
-                    carry = carry[:, fe.step_samples:]
-                    slot_base += fe.block_slots
+            from ..io.sources import stream_stdin_raw
+            source = None
+            chunks = stream_stdin_raw(fe.step_samples, wire, nsamples)
         try:
-            mode.run_blocks(blocks())
+            mode.run_blocks(ingest.run(chunks, start_clkn,
+                                       bus=getattr(mode, "bus", None)))
         finally:
             if opts.live:
                 if source.overruns:
@@ -201,7 +203,8 @@ def _run_source(opts, mode, start_clkn: int) -> int:
                 source.close()
     else:
         from ..io.sources import load_file
-        x = load_file(opts.input_file, opts.input_shorts, nsamples)
+        x = load_file(opts.input_file, opts.input_shorts, nsamples,
+                      opts.input_bytes)
         mode.run(x, start_clkn=start_clkn)
     return 0
 

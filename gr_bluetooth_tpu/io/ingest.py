@@ -1,0 +1,194 @@
+"""Production ingest: pipelined host->device streaming.
+
+The reference's whole job is to eat a continuous SDR stream
+(/root/reference/apps/btrx:121-138 — stdin/file/osmosdr, with `-s`
+selecting the int16 wire format USRPs actually ship).  The TPU-native
+ingest contract has three parts, all implemented here and used by the
+product streaming paths (FrontEnd.stream_pipelined, btrx stdin/live):
+
+  * **wire format on the wire**: the host ships each block's NEW samples
+    exactly as they arrive from the SDR — interleaved (N, 2) int16
+    (or int8 / float32) — no host-side float conversion, deinterleave,
+    or scaling; the device does all of that inside the jitted step.
+    int16 halves, int8 quarters, the H2D bandwidth vs float32 planes.
+  * **device-side overlap-save carry**: the device keeps the previous
+    block's tail (lookahead + filter history), so no sample crosses the
+    link twice.
+  * **double buffering**: block i+1's `device_put` is dispatched before
+    block i's outputs are fetched, overlapping DMA with compute — the
+    steady state has one transfer and one compute in flight.
+
+Clock correctness under overruns: a live radio cannot backpressure the
+air, so when the drop-oldest ring sheds samples the CLOCK must advance
+with air time, not with bytes consumed — CLK1-6 interval discovery and
+CLK1-27 winnowing consume slot *differences* (lib/piconet_impl.cc:445-453)
+and silently break otherwise.  `live_chunks` converts dropped samples to
+whole slots (nearest, with a bounded sub-slot residual carried forward)
+and the driver bumps `slot_base` and resets the stale device carry at the
+gap.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["PipelinedIngest", "live_chunks", "WIRES", "wire_chunks"]
+
+# wire formats: dtype on the link, scale applied on device
+WIRES = {
+    "f32": (np.float32, 1.0),
+    "i16": (np.int16, 1.0 / 32768.0),
+    "i8": (np.int8, 1.0 / 128.0),
+}
+
+
+@dataclass
+class _Slip:
+    """A clock discontinuity: the source dropped `slots` slots of air."""
+    slots: int
+    samples: int
+
+
+class PipelinedIngest:
+    """Streaming driver over a FrontEnd: wire chunks in, BlockResults out.
+
+    Chunks are interleaved (step_samples, 2) arrays of the wire dtype
+    (IQ pairs, exactly the SDR byte stream reshaped).  The jitted step
+    converts/scales/transposes on device and carries the overlap tail,
+    so per block the host link moves step_samples * itemsize * 2 bytes.
+    """
+
+    def __init__(self, fe, wire: str = "f32"):
+        from functools import partial
+
+        from ..models.frontend import _pipelined_step
+
+        if wire not in WIRES:
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.fe = fe
+        self.wire = wire
+        dtype, scale = WIRES[wire]
+        self.dtype = dtype
+        # signature mirrors _device_step's, so the compiled program is
+        # shared across FrontEnd instances with identical configurations
+        self._step = partial(_pipelined_step, **fe._step_kwargs,
+                             wire_scale=float(scale),
+                             overlap=fe.overlap_samples)
+        self._zeros = np.zeros((2, fe.overlap_samples), np.float32)
+        self.chunk_shape = (fe.step_samples, 2)
+
+    def run(self, chunks, start_clkn: int = 0, initial_carry=None,
+            bus=None):
+        """Iterate BlockResults over a chunk stream.
+
+        `chunks` yields (step_samples, 2) wire arrays, or _Slip markers
+        (from live_chunks) signalling dropped air time.  Double-buffered:
+        the next chunk's H2D transfer is dispatched before the previous
+        block's outputs are fetched.
+        """
+        import jax
+
+        from ..utils.metrics import metrics
+
+        fe = self.fe
+        carry = jax.device_put(
+            initial_carry if initial_carry is not None else self._zeros)
+        slot_base = start_clkn
+        pending = None                        # (outs, slot_base)
+        for item in chunks:
+            if isinstance(item, _Slip):
+                # gap in the stream: air time advanced without samples.
+                # Advance the clock and drop the stale carry (packets
+                # straddling the gap are unrecoverable anyway).
+                slot_base += item.slots
+                carry = jax.device_put(self._zeros)
+                metrics.count("clock_slipped_slots", item.slots)
+                if bus is not None:
+                    bus.emit("clock_slipped", slots=item.slots,
+                             samples=item.samples, clkn=slot_base)
+                continue
+            d = jax.device_put(np.ascontiguousarray(item))  # async H2D
+            if pending is not None:
+                yield self._assemble(pending)
+            with metrics.stage("device_step"):
+                carry, outs = self._step(carry, d)          # async compute
+            pending = (outs, slot_base)
+            slot_base += fe.block_slots
+            metrics.count("blocks", 1)
+            metrics.count("samples_in", fe.step_samples)
+        if pending is not None:
+            yield self._assemble(pending)
+
+    def _assemble(self, pending):
+        from ..utils.metrics import metrics
+        with metrics.stage("assemble"):
+            res = self.fe.assemble_block(*pending[0], slot_base=pending[1])
+        metrics.count("classic_hits", len(res.hits))
+        metrics.count("le_hits", len(res.le_hits))
+        return res
+
+
+def wire_chunks(samples, fe, wire: str = "f32", pad_tail: bool = False):
+    """Split a host capture into (initial_carry, chunk iterator) matching
+    the historical block placement: the capture's first overlap_samples
+    seed the carry and each chunk is the next step_samples, so
+    PipelinedIngest.run(...) yields the SAME blocks as fe.stream_sync.
+    With pad_tail, a final zero-padded chunk covers the partial remainder
+    (stream_sync's padded tail block)."""
+    dtype, scale = WIRES[wire]
+    samples = np.asarray(samples)
+    if np.iscomplexobj(samples):
+        samples = np.stack([samples.real, samples.imag]).astype(np.float32)
+    inter = np.ascontiguousarray(samples.T)    # (N, 2) float pairs
+    if wire != "f32":
+        lim = {"i16": 32767.0, "i8": 127.0}[wire]
+        inter = np.clip(inter / scale, -lim - 1, lim).astype(dtype)
+    ov, st = fe.overlap_samples, fe.step_samples
+    n = inter.shape[0]
+    if pad_tail:
+        n_chunks = max(1, -(-(n - ov) // st)) if n > 0 else 0
+    else:
+        n_chunks = max(0, (n - ov) // st)
+    total = ov + n_chunks * st
+    if total > n:
+        inter = np.concatenate(
+            [inter, np.zeros((total - n, 2), dtype)], axis=0)
+    carry = np.ascontiguousarray(inter[:ov].astype(np.float32).T)
+    if wire != "f32":
+        carry = carry * scale
+
+    def chunks():
+        for i in range(n_chunks):
+            yield inter[ov + i * st: ov + (i + 1) * st]
+
+    return carry, chunks()
+
+
+def live_chunks(source, samples_per_slot: int):
+    """Wrap a raw live source (LiveSource.iter_raw) into the chunk+slip
+    stream PipelinedIngest.run consumes.
+
+    Dropped samples are converted to whole slots (nearest; the sub-slot
+    residual is carried so long-run clock drift is bounded by half a
+    slot), keeping clkn locked to air time across overruns."""
+    residual = 0
+
+    def slip():
+        nonlocal residual
+        d = source.take_dropped_samples()
+        if not d:
+            return None
+        residual += d
+        slots = int(round(residual / samples_per_slot))
+        residual -= slots * samples_per_slot
+        return _Slip(slots=slots, samples=d) if slots else None
+
+    for chunk in source.iter_raw():
+        s = slip()
+        if s is not None:
+            yield s
+        yield chunk
+    s = slip()
+    if s is not None:
+        yield s

@@ -21,17 +21,77 @@ def _to_planes(arr: np.ndarray) -> np.ndarray:
 
 
 def load_file(path: str, input_shorts: bool = False,
-              nsamples: int | None = None) -> np.ndarray:
-    """Read a capture file: complex64 .cfile (blocks.file_source layout)
-    or interleaved int16 IQ (-s, apps/btrx:134-138)."""
-    if input_shorts:
-        raw = np.fromfile(path, dtype=np.int16,
+              nsamples: int | None = None,
+              input_bytes: bool = False) -> np.ndarray:
+    """Read a capture file: complex64 .cfile (blocks.file_source layout),
+    interleaved int16 IQ (-s, apps/btrx:134-138), or interleaved int8."""
+    if input_shorts or input_bytes:
+        dt = np.int8 if input_bytes else np.int16
+        raw = np.fromfile(path, dtype=dt,
                           count=-1 if nsamples is None else 2 * nsamples)
         raw = raw[: (len(raw) // 2) * 2].astype(np.float32).reshape(-1, 2)
         return np.ascontiguousarray(raw.T)
     raw = np.fromfile(path, dtype=np.complex64,
                       count=-1 if nsamples is None else nsamples)
     return _to_planes(raw)
+
+
+WIRE_ITEMSIZE = {"f32": 8, "i16": 4, "i8": 2}      # bytes per IQ sample
+WIRE_DTYPE = {"f32": np.float32, "i16": np.int16, "i8": np.int8}
+
+
+def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
+                     nsamples: int | None = None, ring_mb: int = 64):
+    """Yield RAW interleaved (chunk_samples, 2) wire-dtype arrays from
+    stdin — no host float conversion (the pipelined ingest does it on
+    device).  wire: 'f32' (complex64 stream = interleaved float32 pairs),
+    'i16' (`-s`, apps/btrx:134-138), or 'i8'.
+
+    Uses the native SPSC ring + reader thread when available
+    (backpressure mode — stdin is a pipe), plain blocking reads
+    otherwise."""
+    itemsize = WIRE_ITEMSIZE[wire]
+    dtype = WIRE_DTYPE[wire]
+    need_bytes = chunk_samples * itemsize
+    lib = native.load()
+    fd = sys.stdin.fileno()
+    produced = 0
+
+    def convert(buf: bytes) -> np.ndarray:
+        return np.frombuffer(buf, dtype=dtype).reshape(-1, 2)
+
+    if lib is not None:
+        import ctypes
+        ring = lib.bt_ring_create(os.dup(fd), ring_mb << 20, 0)
+        buf = ctypes.create_string_buffer(need_bytes)
+        pending = b""
+        try:
+            while nsamples is None or produced < nsamples:
+                n = lib.bt_ring_pop(ring, buf, need_bytes - len(pending))
+                if n < 0:
+                    break
+                if n == 0:
+                    continue
+                pending += buf.raw[:n]
+                if len(pending) >= need_bytes:
+                    yield convert(pending[:need_bytes])
+                    produced += chunk_samples
+                    pending = pending[need_bytes:]
+            if pending and (nsamples is None or produced < nsamples):
+                pad = pending + b"\0" * (need_bytes - len(pending))
+                yield convert(pad)
+        finally:
+            lib.bt_ring_destroy(ring)
+    else:
+        f = sys.stdin.buffer
+        while nsamples is None or produced < nsamples:
+            buf = f.read(need_bytes)
+            if not buf:
+                break
+            if len(buf) < need_bytes:
+                buf = buf + b"\0" * (need_bytes - len(buf))
+            yield convert(buf)
+            produced += chunk_samples
 
 
 def stream_stdin(chunk_samples: int, input_shorts: bool = False,
@@ -101,14 +161,15 @@ class LiveSource:
 
     def __init__(self, fd: int, chunk_samples: int,
                  input_shorts: bool = False, ring_mb: int = 64,
-                 metrics=None):
+                 metrics=None, wire: str | None = None):
         lib = native.load()
         if lib is None:
             raise RuntimeError("native runtime unavailable (live source "
                                "needs the drop-oldest ring)")
         self._lib = lib
-        self.input_shorts = input_shorts
-        self.itemsize = 4 if input_shorts else 8
+        self.wire = wire or ("i16" if input_shorts else "f32")
+        self.input_shorts = self.wire == "i16"
+        self.itemsize = WIRE_ITEMSIZE[self.wire]
         self.chunk_samples = chunk_samples
         self.need_bytes = chunk_samples * self.itemsize
         if metrics is None:
@@ -135,8 +196,21 @@ class LiveSource:
             self._metrics.count("samples_dropped", new // self.itemsize)
             self._reported_dropped = d
 
-    def __iter__(self):
+    def take_dropped_samples(self) -> int:
+        """Samples dropped since the last call — the clock-slip feed for
+        the streaming driver (ingest.live_chunks), which must advance
+        clkn by the dropped air time (piconet discovery consumes slot
+        differences, lib/piconet_impl.cc:445-453)."""
+        d = self.dropped_bytes
+        new = d - getattr(self, "_slip_reported", 0)
+        self._slip_reported = d
+        return new // self.itemsize
+
+    def iter_raw(self):
+        """Yield RAW interleaved (chunk_samples, 2) wire-dtype arrays —
+        the pipelined-ingest feed (device does the float conversion)."""
         import ctypes
+        dtype = WIRE_DTYPE[self.wire]
         buf = ctypes.create_string_buffer(self.need_bytes)
         pending = b""
         while True:
@@ -151,13 +225,17 @@ class LiveSource:
             if len(pending) >= self.need_bytes:
                 chunk, pending = (pending[:self.need_bytes],
                                   pending[self.need_bytes:])
-                if self.input_shorts:
-                    a = np.frombuffer(chunk, dtype=np.int16)
-                    a = a.astype(np.float32).reshape(-1, 2)
-                    yield np.ascontiguousarray(a.T)
-                else:
-                    yield _to_planes(np.frombuffer(chunk, dtype=np.complex64))
+                yield np.frombuffer(chunk, dtype=dtype).reshape(-1, 2)
         self._account()
+
+    def __iter__(self):
+        for raw in self.iter_raw():
+            if self.wire == "f32":
+                yield np.ascontiguousarray(raw.T)
+            else:
+                scale = 1.0 / 32768.0 if self.wire == "i16" else 1.0 / 128.0
+                yield np.ascontiguousarray(
+                    raw.T.astype(np.float32)) * scale
 
     def close(self):
         if self._ring:

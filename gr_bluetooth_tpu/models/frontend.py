@@ -148,6 +148,11 @@ class FrontEnd:
         consts = dict(
             A68=jnp.asarray(detect._A68), C68v=jnp.asarray(detect._C68v),
         )
+        if self.use_pallas:
+            n_off = self.n_sym - 72 + 1
+            s0, ma = _word_slot_consts(-(-n_off // 32), self.delay_sym)
+            consts.update(word_s0=jnp.asarray(s0),
+                          word_mask_a=jnp.asarray(ma))
         if self.enable_le and self.le_rows:
             idx = [r[2] for r in self.le_rows]
             white, aa_on, max_dist = detect.le_row_consts(idx)
@@ -175,8 +180,8 @@ class FrontEnd:
             snr_static = dict(slot_ch=None, kappa=None,
                               slot_len=self.weights.slot_len)
 
-        self._jit_step = partial(
-            _device_step, **consts,
+        self._step_kwargs = dict(
+            **consts,
             is_pfb=isinstance(b, pfb.PfbBank),
             decim=b.decim, sps=b.sps, ch_sps=b.ch_sps,
             demod_gain=b.demod_gain, n_sym=self.n_sym,
@@ -187,6 +192,8 @@ class FrontEnd:
             max_hits=self.max_hits, max_le_hits=self.max_le_hits,
             with_le=bool(self.enable_le and self.le_rows),
             use_pallas=self.use_pallas)
+        self._jit_step = partial(_device_step, **self._step_kwargs)
+        self._ingests: dict = {}        # wire -> PipelinedIngest (jit reuse)
 
     # ------------------------------------------------------------ device
 
@@ -314,8 +321,31 @@ class FrontEnd:
         return self._unpack_window(res.le_windows[hit.win_row],
                                    hit.sym_offset, n)
 
-    def stream(self, samples: np.ndarray, start_clkn: int = 0):
-        """Iterate BlockResults over a long capture (host numpy input)."""
+    def stream(self, samples: np.ndarray, start_clkn: int = 0,
+               wire: str = "f32"):
+        """Iterate BlockResults over a long capture (host numpy input).
+
+        This IS the production pipelined path (io.ingest): the overlap-
+        save carry lives on device, each block's H2D transfer carries
+        only step_samples of new data in the given wire format, and the
+        next block's transfer is dispatched before the previous block's
+        outputs are fetched (double buffering).  Block placement and
+        outputs are identical to the historical synchronous driver
+        (stream_sync, kept for parity tests)."""
+        from ..io.ingest import PipelinedIngest, wire_chunks
+
+        samples = np.asarray(samples)
+        if np.iscomplexobj(samples):
+            samples = np.stack([samples.real, samples.imag]).astype(np.float32)
+        ingest = self._ingests.get(wire)
+        if ingest is None:
+            ingest = self._ingests[wire] = PipelinedIngest(self, wire)
+        carry, chunks = wire_chunks(samples, self, wire, pad_tail=True)
+        return ingest.run(chunks, start_clkn, initial_carry=carry)
+
+    def stream_sync(self, samples: np.ndarray, start_clkn: int = 0):
+        """Historical synchronous block loop (one blocking device_put +
+        step + fetch per block) — the parity reference for stream()."""
         samples = np.asarray(samples)
         if np.iscomplexobj(samples):
             samples = np.stack([samples.real, samples.imag]).astype(np.float32)
@@ -369,6 +399,78 @@ def _extract_hits(mask, max_hits, payload_cols):
     return count, tab, chan, off, valid
 
 
+def _extract_hits_packed(hitw, max_hits):
+    """Reduce a bit-packed (C, W) int32 hit plane to sparse indices on
+    device — the word-packed twin of _extract_hits (same channel-major
+    order, same two-level bucket sparsification), operating on arrays 32x
+    smaller than the dense mask.
+
+    Returns (count, chan, off, valid) with off in bit units (candidate
+    offsets; callers guarantee bits >= n are already masked off).
+    """
+    C, W = hitw.shape
+    BW = 16                                        # words/bucket = 512 bits
+    total_w = C * W
+    nbw = -(-total_w // BW)
+    flatw = jnp.pad(hitw.reshape(-1), (0, nbw * BW - total_w))
+    count = jax.lax.population_count(flatw).sum(dtype=jnp.int32)
+    buckets = flatw.reshape(nbw, BW)
+    (brow,) = jnp.nonzero(buckets.any(axis=1), size=max_hits, fill_value=0)
+    sub = buckets[brow]                            # (max_hits, BW)
+    sh = jnp.arange(32, dtype=jnp.int32)
+    bits = ((sub[..., None] >> sh) & 1).reshape(max_hits, BW * 32)
+    (sidx,) = jnp.nonzero(bits.reshape(-1), size=max_hits, fill_value=0)
+    idx = brow[sidx // (BW * 32)] * (BW * 32) + sidx % (BW * 32)
+    valid = jnp.arange(max_hits, dtype=jnp.int32) < count
+    nbits = W * 32
+    chan = (idx // nbits).astype(jnp.int32)
+    off = (idx % nbits).astype(jnp.int32)
+    return count, chan, off, valid
+
+
+def _gather_err_packed(errw, chan, off):
+    """Error counts at sparse hit positions from the kernel's packed
+    counter planes: errw (NB, C, W) bit-sliced binary counters."""
+    w = off // 32
+    b = off % 32
+    sel = errw[:, chan, w]                         # (NB, K)
+    e = jnp.zeros_like(off)
+    for k in range(errw.shape[0]):
+        e = e | (((sel[k] >> b) & 1) << k)
+    return e
+
+
+def _squelch_gate_words(snr_db, word_s0, word_mask_a, squelch):
+    """Packed per-offset squelch gate: (S, C) slot SNR -> (C, W) int32
+    word planes to AND with the packed hit plane.
+
+    A 32-offset word spans at most two slots (625 % 32 != 0): word w's
+    low `mask_a` bits sit in slot s0[w], the rest in s0[w]+1 (indices and
+    masks are static — delay_sym and the slot grid are compile-time)."""
+    S, C = snr_db.shape
+    g = (snr_db.T >= squelch)                      # (C, S)
+    g = jnp.pad(g, ((0, 0), (0, 1)), mode="edge")  # slot S mirrors S-1
+    s0 = jnp.minimum(word_s0, S)
+    s1 = jnp.minimum(word_s0 + 1, S)
+    g0 = g[:, s0]                                  # (C, W)
+    g1 = g[:, s1]
+    ma = word_mask_a[None, :]
+    return (jnp.where(g0, ma, 0) | jnp.where(g1, ~ma, 0)).astype(jnp.int32)
+
+
+def _word_slot_consts(n_words: int, delay_sym: int):
+    """Static per-word slot indices + intra-word slot-boundary masks for
+    _squelch_gate_words."""
+    w = np.arange(n_words, dtype=np.int64)
+    first = 32 * w + delay_sym                     # offset+delay of bit 0
+    s0 = first // SYMBOLS_PER_SLOT
+    boundary = (s0 + 1) * SYMBOLS_PER_SLOT - first  # bits before next slot
+    bp = np.clip(boundary, 0, 32)
+    mask_a = np.where(bp >= 32, np.int64(0xFFFFFFFF), (1 << bp) - 1)
+    return (s0.astype(np.int32),
+            mask_a.astype(np.int64).astype(np.uint32).view(np.int32))
+
+
 def _pack_bits(bits):
     """(C, n_sym) {0,1} -> (C, ceil(n/8)) uint8, little-endian bit order."""
     C, n = bits.shape
@@ -420,6 +522,7 @@ def _device_step(x_ri, *, A68, C68v,
                  h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
                  probe_re=None, probe_im=None,
                  kernel=None, rot_q=None, on_w=None, off_w=None,
+                 word_s0=None, word_mask_a=None,
                  le_rows=None, le_white=None, le_aa_on=None, le_max_dist=None,
                  is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
                  slot_ch, kappa, max_ac_errors, delay_sym, squelch, max_hits,
@@ -438,16 +541,33 @@ def _device_step(x_ri, *, A68, C68v,
     _, bits = demod.recover_symbols(d, ch_sps, n_sym)
 
     if use_pallas:
-        hits, err = detect_pallas.classic_detect_pallas(bits, max_ac_errors)
+        # packed hot path: the detect kernel's hit/error planes stay
+        # bit-packed (32 offsets/int32 word) end to end — squelch AND,
+        # sparse extraction, and window gather all run on word planes, so
+        # the dense (C, n) gate/err tensors never round-trip HBM
+        words = detect_pallas.pack_bits_words(bits)
+        n = bits.shape[1] - 72 + 1
+        hitw, _, errw = detect_pallas.detect_words(words, n, max_ac_errors)
+        if squelch is not None:
+            hitw = hitw & _squelch_gate_words(snr_db, word_s0, word_mask_a,
+                                              squelch)
+        n_hits, chan, off, valid = _extract_hits_packed(hitw, max_hits)
+        err = _gather_err_packed(errw, chan, off)
+        packed = jax.lax.bitcast_convert_type(words, jnp.uint8)
+        packed = packed.reshape(words.shape[0], -1)
     else:
-        hits, err = detect._classic_detect_impl(bits, A68, C68v,
-                                                max_ac_errors, 2)
-    if squelch is not None:
-        hits = hits & _squelch_gate(snr_db, hits.shape[1], delay_sym, squelch)
-    n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [err])
+        hits, err_d = detect._classic_detect_impl(bits, A68, C68v,
+                                                  max_ac_errors, 2)
+        if squelch is not None:
+            hits = hits & _squelch_gate(snr_db, hits.shape[1], delay_sym,
+                                        squelch)
+        n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [err_d])
+        err = tab[:, 2]
+        packed = _pack_bits(bits)
     lap = jnp.where(valid, detect.lap_at(bits, chan, off), -1)
-    tab = jnp.stack([tab[:, 0], tab[:, 1], lap, tab[:, 2]], axis=1)
-    packed = _pack_bits(bits)
+    neg = jnp.int32(-1)
+    tab = jnp.stack([jnp.where(valid, chan, neg), jnp.where(valid, off, neg),
+                     lap, jnp.where(valid, err, neg)], axis=1)
     windows = _gather_windows(packed, chan, off, valid, WIN_SYMBOLS)
 
     if with_le:
@@ -464,3 +584,45 @@ def _device_step(x_ri, *, A68, C68v,
     else:
         n_le, le_tab, le_windows = None, None, None
     return snr_db, n_hits, tab, windows, n_le, le_tab, le_windows
+
+
+@partial(jax.jit, static_argnames=(
+    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "slot_len",
+    "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch", "max_hits",
+    "max_le_hits", "with_le", "use_pallas", "wire_scale", "overlap"))
+def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
+                    h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
+                    probe_re=None, probe_im=None,
+                    kernel=None, rot_q=None, on_w=None, off_w=None,
+                    word_s0=None, word_mask_a=None,
+                    le_rows=None, le_white=None, le_aa_on=None,
+                    le_max_dist=None,
+                    is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
+                    slot_ch, kappa, max_ac_errors, delay_sym, squelch,
+                    max_hits, max_le_hits, with_le, use_pallas=False):
+    """Production ingest step: (device carry, RAW wire chunk) ->
+    (next carry, _device_step outputs).
+
+    `new` is an interleaved (step_samples, 2) array in the SDR wire dtype
+    (int16 `-s` / int8 / float32 pairs); conversion, scaling, deinterleave
+    and the overlap-save carry all happen on device, so only the new wire
+    bytes cross the host link (apps/btrx:134-138 is the host-side
+    short->complex converter this replaces).  Signature mirrors
+    _device_step so compiled programs are shared across FrontEnd
+    instances with identical configurations."""
+    x = new.astype(jnp.float32).T
+    if wire_scale != 1.0:
+        x = x * wire_scale
+    xb = jnp.concatenate([carry, x], axis=1)
+    outs = _device_step(
+        xb, A68=A68, C68v=C68v, h0=h0, h1=h1, dft_c=dft_c, dft_s=dft_s,
+        bin_odd=bin_odd, probe_re=probe_re, probe_im=probe_im,
+        kernel=kernel, rot_q=rot_q, on_w=on_w, off_w=off_w,
+        word_s0=word_s0, word_mask_a=word_mask_a, le_rows=le_rows,
+        le_white=le_white, le_aa_on=le_aa_on, le_max_dist=le_max_dist,
+        is_pfb=is_pfb, decim=decim, sps=sps, ch_sps=ch_sps,
+        demod_gain=demod_gain, n_sym=n_sym, slot_len=slot_len,
+        slot_ch=slot_ch, kappa=kappa, max_ac_errors=max_ac_errors,
+        delay_sym=delay_sym, squelch=squelch, max_hits=max_hits,
+        max_le_hits=max_le_hits, with_le=with_le, use_pallas=use_pallas)
+    return xb[:, -overlap:], outs

@@ -50,6 +50,14 @@ _PRE0 = (1, 0, 1, 0, 1)
 _BARK0 = (1, 1, 1, 0, 0, 1, 0)
 
 BIG = 1 << 20                                          # gated-out marker
+
+# test hook: force interpret mode process-wide (CPU CI exercises the
+# packed frontend integration without a TPU backend)
+DEFAULT_INTERPRET = False
+
+
+def _resolve_interpret(interpret):
+    return DEFAULT_INTERPRET if interpret is None else interpret
 _C_TILE = 8
 _NW = 128                                              # words per tile
 _PAD_W = 128                                           # DMA lookahead pad
@@ -224,7 +232,7 @@ def pack_bits_words(bits):
 
 
 def detect_words(words, n: int, max_ac_errors: int = 6, nw: int = _NW,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
     """Word-packed detection core.
 
     words: (C, W) int32 packed symbol streams (pack_bits_words layout);
@@ -240,7 +248,7 @@ def detect_words(words, n: int, max_ac_errors: int = 6, nw: int = _NW,
     wp = jnp.zeros((c_pad, w_pad), jnp.int32)
     wp = jax.lax.dynamic_update_slice(wp, words[:, :min(W, w_pad)], (0, 0))
     planes = _planes_padded(wp, nw=nw, max_ac_errors=max_ac_errors,
-                            interpret=interpret)
+                            interpret=_resolve_interpret(interpret))
     planes = planes[:, :C, :n_words]
     hit, gate, err = planes[0], planes[1], planes[2:]
     # mask bits at offsets >= n (tail windows read past T)
@@ -259,7 +267,7 @@ def _unpack_words(w, n):
     return bits.reshape(C, W * 32)[:, :n]
 
 
-def gated_error(bits, nt: int = 1024, interpret: bool = False):
+def gated_error(bits, nt: int = 1024, interpret: bool | None = None):
     """bits: (C, T) {0,1} any real dtype -> (C, T-71) int32 gated AC error
     counts (BIG where the preamble/Barker prefilter rejects).
 
@@ -267,6 +275,11 @@ def gated_error(bits, nt: int = 1024, interpret: bool = False):
     dense.  Hot paths call detect_words on pre-packed streams instead.
     (nt retained for API compatibility; the packed kernel tiles by words.)
     """
+    if nt != 1024:
+        import warnings
+        warnings.warn("gated_error: nt no longer controls tiling (the "
+                      "packed kernel tiles by words) and is ignored",
+                      DeprecationWarning, stacklevel=2)
     del nt
     bits = jnp.asarray(bits, jnp.int32)
     C, T = bits.shape
@@ -285,7 +298,7 @@ def gated_error(bits, nt: int = 1024, interpret: bool = False):
 
 
 def classic_detect_pallas(bits, max_ac_errors: int = 6, nt: int = 1024,
-                          interpret: bool = False):
+                          interpret: bool | None = None):
     """Drop-in for detect._classic_detect_impl: (hits bool, err int32)."""
     g = gated_error(bits, nt=nt, interpret=interpret)
     return g <= max_ac_errors, jnp.where(g >= BIG, 0, g)

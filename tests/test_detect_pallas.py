@@ -104,6 +104,70 @@ def test_detect_words_direct(interpret):
         assert unpack(hit)[1, 0] and unpack(hit)[2, n - 1], T
 
 
+def test_frontend_packed_path_parity():
+    """The frontend's use_pallas hot path (packed squelch gate, packed hit
+    extraction, packed err gather, bitcast window source) must produce the
+    same BlockResults as the dense XLA path on a real synthetic capture —
+    run in interpret mode so CPU CI covers the integration."""
+    from gr_bluetooth_tpu.constants import SYMBOLS_PER_SLOT
+    from gr_bluetooth_tpu.core import packets as P
+    from gr_bluetooth_tpu.models.frontend import FrontEnd
+    from gr_bluetooth_tpu.ops import synth as S
+
+    FS, CENTER = 8e6, 2441e6
+    LAP, UAP = 0x24D952, 0x47
+    sps = int(FS // 1e6)
+    r = np.random.default_rng(5)
+    plan = []
+    for slot, ch in [(1, 36), (3, 39), (4, 42), (6, 36), (9, 40)]:
+        bits = P.encode_classic_packet(LAP, UAP, slot, 3,
+                                       bytes(r.integers(0, 256, 9).tolist()))
+        plan.append(S.PlannedPacket(
+            channel=ch,
+            start_sample=slot * SYMBOLS_PER_SLOT * sps + 7 * sps, bits=bits))
+    le_bits = P.encode_le_adv(0x8E89BED6, 38, 0, b"\x22" * 6)
+    plan.append(S.PlannedPacket(
+        channel=(2426 - 2402), bits=np.concatenate(
+            [le_bits, np.zeros(8, np.uint8)]),
+        start_sample=11 * SYMBOLS_PER_SLOT * sps + 7 * sps))
+    x = S.synthesize_capture(plan, n_samples=20 * SYMBOLS_PER_SLOT * sps,
+                             fs=FS, center_freq=CENTER, noise_std=0.02,
+                             seed=5)
+
+    fe_dense = FrontEnd(FS, CENTER, block_slots=8, enable_le=True,
+                        use_pallas=False)
+    old = detect_pallas.DEFAULT_INTERPRET
+    detect_pallas.DEFAULT_INTERPRET = True
+    try:
+        fe_packed = FrontEnd(FS, CENTER, block_slots=8, enable_le=True,
+                             use_pallas=True)
+        dense = list(fe_dense.stream(x))
+        packed = list(fe_packed.stream(x))
+    finally:
+        detect_pallas.DEFAULT_INTERPRET = old
+
+    assert len(dense) == len(packed)
+    n_hits = 0
+    for rd, rp in zip(dense, packed):
+        kd = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors, h.snr_db)
+              for h in rd.hits]
+        kp = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors, h.snr_db)
+              for h in rp.hits]
+        assert kd == kp
+        n_hits += len(kd)
+        for hd, hp in zip(rd.hits, rp.hits):
+            wd = fe_dense.packet_symbols(rd, hd)
+            wp = fe_packed.packet_symbols(rp, hp)
+            assert (wd == wp).all()
+        ld = [(h.channel, h.clkn, h.sym_offset, h.distance) for h in rd.le_hits]
+        lp = [(h.channel, h.clkn, h.sym_offset, h.distance) for h in rp.le_hits]
+        assert ld == lp
+        for hd, hp in zip(rd.le_hits, rp.le_hits):
+            assert (fe_dense.le_packet_symbols(rd, hd) ==
+                    fe_packed.le_packet_symbols(rp, hp)).all()
+    assert n_hits >= 5          # every planted classic packet detected
+
+
 def test_pallas_nt_tiling_edges():
     """Offsets straddling tile boundaries must be identical."""
     r = np.random.default_rng(7)
