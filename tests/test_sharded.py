@@ -88,8 +88,11 @@ def test_scaling_efficiency_harness(mesh):
     fe = FrontEnd(4e6, CENTER, block_slots=8)
     eff = measure_scaling_efficiency(fe, mesh, n_superblocks=2, repeats=1)
     assert eff["n_devices"] == 4
-    assert eff["sharded_sps"] > 0 and eff["unsharded_sps"] > 0
-    assert 0.2 < eff["efficiency"] < 5.0
+    assert eff["sharded_sps"] > 0 and eff["ideal_sps"] > 0
+    assert eff["scan_1dev_sps"] > 0
+    # efficiency isolates the halo collective vs an identical zero-comm
+    # twin, so it is <= 1 by construction (small timing jitter allowance)
+    assert 0.05 < eff["efficiency"] <= 1.05
 
 
 def test_dryrun_multichip_entrypoint():
