@@ -56,8 +56,9 @@ def unfec13(bits: np.ndarray):
     return data, nerr < (L // 4)
 
 
-def _parity5(data10: np.ndarray) -> np.ndarray:
-    """5-bit remainder of data(D)*D^5 mod g(D); data10: (..., 10)."""
+def _parity5_poly(data10: np.ndarray) -> np.ndarray:
+    """5-bit remainder of data(D)*D^5 mod g(D); data10: (..., 10).
+    Long-division form, used only to build the lookup table below."""
     g = host_to_air(FEC23_GEN_POLY, 6).astype(np.uint8)
     c = np.zeros(data10.shape[:-1] + (15,), dtype=np.uint8)
     c[..., 5:15] = data10
@@ -65,6 +66,23 @@ def _parity5(data10: np.ndarray) -> np.ndarray:
         m = c[..., k:k + 1]  # leading coefficient, broadcast over the 6 taps
         c[..., k - 5:k + 1] ^= m * g
     return c[..., :5]
+
+
+_W10 = (1 << np.arange(10, dtype=np.int64))
+_P5_TABLE: np.ndarray | None = None
+
+
+def _parity5(data10: np.ndarray) -> np.ndarray:
+    """Table-driven parity: the remainder is GF(2)-linear in the 10 data
+    bits, so one gather into a 1024-entry table replaces the 10-step
+    long division (this sits on the sniffer's per-packet hot path)."""
+    global _P5_TABLE
+    if _P5_TABLE is None:
+        all10 = ((np.arange(1024)[:, None] >> np.arange(10)) & 1
+                 ).astype(np.uint8)
+        _P5_TABLE = _parity5_poly(all10)
+    v = (np.asarray(data10, np.int64) * _W10).sum(axis=-1)
+    return _P5_TABLE[v]
 
 
 def _syndrome_map():
