@@ -364,13 +364,32 @@ class FrontEnd:
             yield self.process_block(tail, slot_base)
 
 
+def _first_k_indices(flags, k: int):
+    """Indices of the first k true elements of a flat bool/int vector, in
+    order — the TPU-friendly form of `jnp.nonzero(flags, size=k)`.
+
+    nonzero's lowering scatters a cumsum over the WHOLE domain into the
+    output (262k serialized scatter updates for a full-band block, ~2 ms
+    on v5e); top_k over a descending index priority does the same
+    selection in one fused O(n log k) pass (~3x faster end to end).
+    Fill positions (fewer than k set bits) return arbitrary indices —
+    callers mask with their own `valid`.
+    """
+    n = flags.shape[0]
+    pri = jnp.where(flags != 0,
+                    jnp.int32(n) - jnp.arange(n, dtype=jnp.int32), 0)
+    _, idx = jax.lax.top_k(pri, min(k, n))
+    if k > n:                     # tiny domains (small test configs)
+        idx = jnp.pad(idx, (0, k - n))
+    return idx
+
+
 def _extract_hits(mask, max_hits, payload_cols):
     """Reduce a dense (C, n) mask to a fixed-size table on device.
 
-    Two-level sparsification: nonzero's cumsum over the full (C*n) mask is
-    the single most expensive op in the naive form, so the mask is first
-    folded into buckets of 512 and only buckets containing hits (bounded
-    by max_hits) are scanned densely — ~45x less cumsum work.
+    Two-level sparsification: first-k over per-bucket any() (<= max_hits
+    buckets matter), then first-k inside the selected buckets only —
+    ~B x less selection work than one pass over the (C*n) domain.
 
     Returns (count, tab, chan, off, valid) where tab is
     (max_hits, 2 + len(payload_cols)) int32 rows [chan, offset, *payload]
@@ -384,10 +403,10 @@ def _extract_hits(mask, max_hits, payload_cols):
     count = flat.sum(dtype=jnp.int32)
     buckets = flat.reshape(nb, B)
     # level 1: which buckets contain hits (<= max_hits buckets matter)
-    (brow,) = jnp.nonzero(buckets.any(axis=1), size=max_hits, fill_value=0)
+    brow = _first_k_indices(buckets.any(axis=1), max_hits)
     sub = buckets[brow]                            # (max_hits, B)
-    # level 2: dense nonzero inside the selected buckets only
-    (sidx,) = jnp.nonzero(sub.reshape(-1), size=max_hits, fill_value=0)
+    # level 2: dense first-k inside the selected buckets only
+    sidx = _first_k_indices(sub.reshape(-1), max_hits)
     idx = brow[sidx // B] * B + (sidx % B)         # flat indices, ordered
     valid = jnp.arange(max_hits, dtype=jnp.int32) < count
     chan = (idx // n).astype(jnp.int32)
@@ -402,25 +421,22 @@ def _extract_hits(mask, max_hits, payload_cols):
 def _extract_hits_packed(hitw, max_hits):
     """Reduce a bit-packed (C, W) int32 hit plane to sparse indices on
     device — the word-packed twin of _extract_hits (same channel-major
-    order, same two-level bucket sparsification), operating on arrays 32x
-    smaller than the dense mask.
+    order): first-k over hit-carrying words, then first-k over the
+    selected words' unpacked bits (max_hits*32 elements instead of the
+    full C*W*32 bit domain).
 
     Returns (count, chan, off, valid) with off in bit units (candidate
     offsets; callers guarantee bits >= n are already masked off).
     """
     C, W = hitw.shape
-    BW = 16                                        # words/bucket = 512 bits
-    total_w = C * W
-    nbw = -(-total_w // BW)
-    flatw = jnp.pad(hitw.reshape(-1), (0, nbw * BW - total_w))
+    flatw = hitw.reshape(-1)
     count = jax.lax.population_count(flatw).sum(dtype=jnp.int32)
-    buckets = flatw.reshape(nbw, BW)
-    (brow,) = jnp.nonzero(buckets.any(axis=1), size=max_hits, fill_value=0)
-    sub = buckets[brow]                            # (max_hits, BW)
+    widx = _first_k_indices(flatw, max_hits)       # first hit-words, ordered
+    sel = flatw[widx]                              # (max_hits,) words
     sh = jnp.arange(32, dtype=jnp.int32)
-    bits = ((sub[..., None] >> sh) & 1).reshape(max_hits, BW * 32)
-    (sidx,) = jnp.nonzero(bits.reshape(-1), size=max_hits, fill_value=0)
-    idx = brow[sidx // (BW * 32)] * (BW * 32) + sidx % (BW * 32)
+    bits = ((sel[:, None] >> sh) & 1).reshape(-1)  # (max_hits*32,)
+    bidx = _first_k_indices(bits, max_hits)
+    idx = widx[bidx // 32] * 32 + (bidx % 32)
     valid = jnp.arange(max_hits, dtype=jnp.int32) < count
     nbits = W * 32
     chan = (idx // nbits).astype(jnp.int32)
