@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["crc24", "crc24_bits", "crc24_ok", "used_channels",
-           "csa1_next_unmapped", "csa1_channel", "csa1_sequence"]
+           "csa1_next_unmapped", "csa1_channel", "csa1_sequence",
+           "csa2_channel_identifier", "csa2_channel", "csa2_sequence"]
 
 _CRC24_POLY = 0x00065B  # feedback taps incl. position 0 (x^24+x^10+x^9+x^6+x^4+x^3+x+1)
 ADV_CRC_INIT = 0x555555
@@ -90,3 +91,63 @@ def csa1_sequence(first_unmapped: int, hop_increment: int, ch_map: int,
     ev = np.arange(1, n_events + 1, dtype=np.int64)
     unmapped = (first_unmapped + ev * hop_increment) % 37
     return csa1_channel(unmapped, ch_map)
+
+
+# ----------------------------------------------- CSA #2 (BT 5.0 §4.5.8.3)
+#
+# BT5 connections/periodic advertising negotiate Channel Selection
+# Algorithm #2 (ChSel bit in the advertising PDU header): a per-event PRN
+# seeded by the access address replaces CSA#1's linear hop.  The reference
+# predates BT5 entirely (its LE piconet is a stub); this extends
+# LowEnergyPiconet.predict_channel beyond parity.  Vectorized over event
+# counters like the rest of this module.
+
+def _csa2_perm(v: np.ndarray) -> np.ndarray:
+    """The PERM operation: reverse the bits within each byte of a u16."""
+    v = ((v & 0xAAAA) >> 1) | ((v & 0x5555) << 1)
+    v = ((v & 0xCCCC) >> 2) | ((v & 0x3333) << 2)
+    return ((v & 0xF0F0) >> 4) | ((v & 0x0F0F) << 4)
+
+
+def _csa2_mam(a: np.ndarray, b) -> np.ndarray:
+    """The MAM (multiply-add-modulo) operation: (17*a + b) mod 2^16."""
+    return (17 * a + b) & 0xFFFF
+
+
+def csa2_channel_identifier(aa: int) -> int:
+    """channelIdentifier = AA[31:16] XOR AA[15:0]."""
+    aa = int(aa) & 0xFFFFFFFF
+    return ((aa >> 16) ^ (aa & 0xFFFF)) & 0xFFFF
+
+
+def csa2_prn_e(counter, channel_identifier: int) -> np.ndarray:
+    """Per-event pseudo-random number prn_e (§4.5.8.3.3, fig 4.44)."""
+    ci = np.int64(channel_identifier)
+    prn = (np.asarray(counter, dtype=np.int64) & 0xFFFF) ^ ci
+    for _ in range(3):
+        prn = _csa2_mam(_csa2_perm(prn), ci)
+    return prn ^ ci
+
+
+def csa2_channel(counter, aa: int, ch_map: int) -> np.ndarray:
+    """Data channel index for connection event `counter` under CSA#2.
+
+    unmapped = prn_e mod 37; if unused, remap via
+    remappingIndex = floor(N * prn_e / 2^16) into the sorted used list.
+    """
+    used = used_channels(ch_map)
+    n = len(used)
+    if n == 0:
+        raise ValueError("channel map has no used channels")
+    prn_e = csa2_prn_e(counter, csa2_channel_identifier(aa))
+    unmapped = prn_e % 37
+    in_map = ((np.int64(ch_map) >> unmapped) & 1) == 1
+    remap_idx = (n * prn_e) >> 16
+    return np.where(in_map, unmapped, used[remap_idx])
+
+
+def csa2_sequence(aa: int, ch_map: int, n_events: int,
+                  start: int = 0) -> np.ndarray:
+    """Channel indices for event counters start..start+n_events-1."""
+    ev = np.arange(start, start + n_events, dtype=np.int64)
+    return csa2_channel(ev, aa, ch_map)

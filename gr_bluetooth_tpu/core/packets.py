@@ -433,6 +433,7 @@ class LePacket:
     index: int = -1
     aa: int = 0
     pdu_type: int = 0
+    ch_sel: int = 0
     tx_add: int = 0
     rx_add: int = 0
     llid: int = 0
@@ -456,6 +457,7 @@ class LePacket:
             header = int(air_to_host(s[40:56]))
             if self.index >= 37:
                 self.pdu_type = header & 0xF
+                self.ch_sel = (header >> 5) & 1
                 self.tx_add = (header >> 6) & 1
                 self.rx_add = (header >> 7) & 1
                 self.length = (header >> 8) & 0x3F
@@ -510,6 +512,9 @@ class LePacket:
                        p[32] << 32),
             hop=int(p[33]) & 0x1F,
             sca=(int(p[33]) >> 5) & 7,
+            # ChSel header bit: 1 -> the connection uses CSA#2 (BT 5.0
+            # §4.5.8.3; the reference predates BT5 entirely)
+            ch_sel=self.ch_sel,
         )
 
     def _mac(self, off: int) -> str:
@@ -707,13 +712,15 @@ def _le_assemble(aa: int, index: int, header: np.ndarray, payload: bytes,
 
 
 def encode_le_adv(aa: int, index: int, pdu_type: int, payload: bytes,
-                  crc: bool = True) -> np.ndarray:
+                  crc: bool = True, ch_sel: int = 0) -> np.ndarray:
     """LE advertising-channel packet symbols (preamble+AA+whitened
     hdr+payload+CRC24).  The reference's LE path neither generates nor
     checks the CRC; ours does (core/le_ll.py) — pass crc=False for
-    reference-shaped frames."""
+    reference-shaped frames.  ch_sel sets the BT5 ChSel header bit
+    (CSA#2 support advertised/selected)."""
     header = np.zeros(16, dtype=np.uint8)
     header[0:4] = host_to_air(pdu_type, 4)
+    header[5] = ch_sel & 1
     header[8:14] = host_to_air(len(payload), 6)
     return _le_assemble(aa, index, header, payload,
                         le_ll.ADV_CRC_INIT if crc else None)

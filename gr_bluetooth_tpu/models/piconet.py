@@ -311,8 +311,9 @@ class LowEnergyPiconet:
     (lib/piconet_impl.cc:551-585); this is a real implementation: when a
     CONNECT_REQ is sniffed its LLData (the fields the reference only
     prints, lib/packet_impl.cc:1619-1665) seeds full connection-following
-    state — CSA#1 hop sequence, CRCInit for data-packet validation, and
-    connection-event timing from the transmit-window parameters.
+    state — CSA#1 or (BT5, ChSel header bit) CSA#2 hop sequence, CRCInit
+    for data-packet validation, and connection-event timing from the
+    transmit-window parameters.
     """
     aa: int
     packets_seen: int = 0
@@ -330,6 +331,7 @@ class LowEnergyPiconet:
     timeout: int = 0
     win_size: int = 0
     win_offset: int = 0
+    ch_sel: int = 0                   # 0 -> CSA#1, 1 -> CSA#2 (BT 5.0)
     anchor_clkn: int | None = None    # estimated clkn of connection event 0
 
     def enqueue(self, pkt):
@@ -355,12 +357,21 @@ class LowEnergyPiconet:
         self.timeout = fields["timeout"]
         self.win_size = fields["win_size"]
         self.win_offset = fields["win_offset"]
+        self.ch_sel = fields.get("ch_sel", 0)
         self.anchor_clkn = clkn + 2 * (1 + self.win_offset)
-        log.info("LE connection AA=%08x: hop=%d interval=%d chm=%010x",
-                 self.aa, self.hop_increment, self.interval, self.ch_map)
+        log.info("LE connection AA=%08x: hop=%d interval=%d chm=%010x "
+                 "csa=#%d", self.aa, self.hop_increment, self.interval,
+                 self.ch_map, 2 if self.ch_sel else 1)
 
     def channel_for_event(self, event: int) -> int:
-        """Data channel index for connection event N (CSA#1, §4.5.8.2)."""
+        """Data channel index for connection event N.
+
+        CSA#1 (§4.5.8.2) by default; CSA#2 (BT 5.0 §4.5.8.3, selected by
+        the ChSel bit on the CONNECT_IND) via the AA-seeded per-event PRN
+        in core/le_ll.py.  The reference has neither (empty stub,
+        lib/piconet_impl.cc:551-585)."""
+        if self.ch_sel:
+            return int(le_ll.csa2_channel(event, self.aa, self.ch_map))
         unmapped = ((event + 1) * self.hop_increment) % 37
         return int(le_ll.csa1_channel(np.int64(unmapped), self.ch_map))
 

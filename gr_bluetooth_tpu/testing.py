@@ -150,9 +150,10 @@ def make_multi_piconet_capture(sims, n_slots: int, fs: float,
 
 @dataclass
 class LeConnectionSim:
-    """A simulated LE master: advertising, a CONNECT_REQ, then CSA#1-hopped
-    data packets — ground truth for the connection-following path the
-    reference stubs out (lib/piconet_impl.cc:551-585)."""
+    """A simulated LE master: advertising, a CONNECT_REQ, then hopped data
+    packets (CSA#1, or CSA#2 when ch_sel=1) — ground truth for the
+    connection-following path the reference stubs out
+    (lib/piconet_impl.cc:551-585)."""
     adv_a: bytes = b"\x11\x22\x33\x44\x55\x66"
     init_a: bytes = b"\xaa\xbb\xcc\xdd\xee\xff"
     conn_aa: int = 0x50655F3A
@@ -164,6 +165,7 @@ class LeConnectionSim:
     latency: int = 0
     timeout: int = 100
     ch_map: int = 0x1FFFFFFFFF   # all 37 data channels
+    ch_sel: int = 0              # ChSel header bit: 1 -> CSA#2 (BT 5.0)
 
     def connect_req_bits(self) -> np.ndarray:
         lldata = (self.conn_aa.to_bytes(4, "little") +
@@ -176,10 +178,13 @@ class LeConnectionSim:
                   self.ch_map.to_bytes(5, "little") +
                   bytes([(self.hop_increment & 0x1F) | (0 << 5)]))
         return packets.encode_le_adv(
-            0x8E89BED6, 38, 5, self.init_a + self.adv_a + lldata)
+            0x8E89BED6, 38, 5, self.init_a + self.adv_a + lldata,
+            ch_sel=self.ch_sel)
 
     def data_channel(self, event: int) -> int:
-        """LE data channel index for connection event N (CSA#1)."""
+        """LE data channel index for connection event N (CSA#1 or #2)."""
+        if self.ch_sel:
+            return int(le_ll.csa2_channel(event, self.conn_aa, self.ch_map))
         unmapped = ((event + 1) * self.hop_increment) % 37
         return int(le_ll.csa1_channel(np.int64(unmapped), self.ch_map))
 

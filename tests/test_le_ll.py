@@ -158,3 +158,70 @@ def test_observe_data_counts_crc():
                            freq=index2freq(sim.data_channel(1)))
     assert not pn.observe_data(bad)
     assert pn.crc_ok_count == 1 and pn.crc_bad_count == 1
+
+
+# ------------------------------------------------------------------ CSA#2
+
+def test_csa2_channel_identifier_spec_value():
+    # BT 5.0 Vol 6 Part B §4.5.8.3 sample data: AA 0x8E89BED6 -> 0x305F
+    assert le_ll.csa2_channel_identifier(0x8E89BED6) == 0x305F
+
+
+def test_csa2_spec_sample_37_used():
+    # spec sample data, all 37 channels used: counters 0..3
+    chm = (1 << 37) - 1
+    assert le_ll.csa2_sequence(0x8E89BED6, chm, 4).tolist() == [25, 20, 6, 21]
+
+
+def test_csa2_spec_sample_9_used():
+    # spec sample data, used = {9,10,21,22,23,33,34,35,36}: the remapped
+    # events land on 23, 9, 34 (counters 6..8)
+    chm = sum(1 << c for c in (9, 10, 21, 22, 23, 33, 34, 35, 36))
+    assert le_ll.csa2_sequence(0x8E89BED6, chm, 3, start=6).tolist() == \
+        [23, 9, 34]
+
+
+def test_csa2_outputs_always_in_map():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        used = rng.choice(37, size=rng.integers(2, 37), replace=False)
+        chm = int(sum(1 << int(c) for c in used))
+        aa = int(rng.integers(0, 1 << 32))
+        seq = le_ll.csa2_sequence(aa, chm, 200)
+        assert set(seq.tolist()) <= set(int(c) for c in used)
+
+
+def test_csa2_visits_all_used_channels():
+    # the PRN should exercise the whole map over enough events
+    chm = (1 << 37) - 1
+    seq = le_ll.csa2_sequence(0xA0B1C2D3, chm, 2000)
+    assert set(seq.tolist()) == set(range(37))
+
+
+def test_csa2_empty_map_raises():
+    with pytest.raises(ValueError):
+        le_ll.csa2_channel(0, 0x12345678, 0)
+
+
+def test_connect_req_ch_sel_bit_roundtrip():
+    from gr_bluetooth_tpu.testing import LeConnectionSim
+    for ch_sel in (0, 1):
+        sim = LeConnectionSim(ch_sel=ch_sel)
+        req = packets.LePacket(symbols=sim.connect_req_bits(), freq=2426e6)
+        fields = req.connect_req_fields()
+        assert fields["ch_sel"] == ch_sel
+
+
+def test_low_energy_piconet_follows_csa2_connection():
+    from gr_bluetooth_tpu.testing import LeConnectionSim
+    sim = LeConnectionSim(ch_sel=1, interval=10, win_offset=3)
+    req = packets.LePacket(symbols=sim.connect_req_bits(), freq=2426e6)
+    pn = LowEnergyPiconet(aa=sim.conn_aa)
+    pn.from_connect_req(req.connect_req_fields(), clkn=100)
+    assert pn.ch_sel == 1
+    for ev in range(40):
+        assert pn.channel_for_event(ev) == sim.data_channel(ev)
+    # and the prediction really is CSA#2, not CSA#1
+    assert [pn.channel_for_event(e) for e in range(40)] != \
+        [int(le_ll.csa1_channel(np.int64((e + 1) * sim.hop_increment % 37),
+                                sim.ch_map)) for e in range(40)]

@@ -460,3 +460,37 @@ def test_hopper_aliased_mode():
         assert pkt.channel == obs
         # ...predicted from the true hop channel
         assert int(pn.hop((sim.clk0 + pkt.clkn) & 0x7FFFFFF)) == true
+
+
+def test_sniffer_le_connection_following_csa2():
+    """BT5 connection (ChSel=1 on the CONNECT_IND): the follower selects
+    channels with CSA#2's AA-seeded PRN (core/le_ll.py, BT 5.0 §4.5.8.3)
+    instead of CSA#1's linear hop.  Entirely beyond the reference (its LE
+    piconet is an empty stub, lib/piconet_impl.cc:551-585)."""
+    from gr_bluetooth_tpu.testing import LeConnectionSim, make_le_connection_capture
+
+    fs, center = 8e6, 2426e6          # covers adv ch 38 + data idx 10, 11
+    sim = LeConnectionSim(ch_map=(1 << 10) | (1 << 11), ch_sel=1,
+                          interval=6, win_offset=1)
+    samples, sent = make_le_connection_capture(sim, n_slots=128, fs=fs,
+                                               center_freq=center,
+                                               connect_slot=2, n_events=8)
+    bus = EventBus()
+    mode = Sniffer(fs, center, bus=bus, enable_le=True)
+    mode.run(samples)
+
+    conns = bus.events("le_connection")
+    assert len(conns) == 1 and conns[0]["aa"] == sim.conn_aa
+
+    pn = mode.low_energy_piconets[sim.conn_aa]
+    assert pn.ch_sel == 1
+    n_data_sent = sum(1 for (_, _, kind) in sent if kind == "DATA")
+    assert n_data_sent >= 6
+    assert pn.crc_ok_count >= n_data_sent - 1
+    assert pn.crc_bad_count == 0
+
+    data = [p for p in mode.le_packets
+            if p.aa == sim.conn_aa and p.index < 37]
+    assert len(data) >= n_data_sent - 1
+    for pkt in data:
+        assert pn.predict_channel(pkt.clkn) == pkt.index
