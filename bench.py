@@ -1,18 +1,18 @@
 """Benchmark: wideband IQ samples/s/chip, full 79-channel band.
 
 Measures the fused frontend step (PFB channelize -> GFSK demod ->
-feedforward timing recovery -> slicer -> SNR squelch -> dense access-code
-detect -> top-K hit extraction + packed window gather) streaming over
+feedforward timing recovery -> slicer -> SNR squelch -> packed AC detect
+-> top-K hit extraction + packed window gather) streaming over
 device-resident full-band blocks, then checks LAP-detection parity against
 planted ground truth (untimed).
 
 Methodology notes:
   * The whole streaming loop runs ON DEVICE (lax.fori_loop over blocks,
     one dispatch per workload): this rig reaches the chip through a tunnel
-    whose host link is ~0.1 GB/s with unreliable async completion
-    semantics, so per-block dispatch timing measures the tunnel.  A
-    production ingest path double-buffers DMA against compute; the device
-    compute measured here is the bound.
+    (raw device_put bandwidth is MEASURED and reported as
+    `raw_link_gbps`), so per-block dispatch timing measures the tunnel.
+    A production ingest path double-buffers DMA against compute; the
+    device compute measured here is the bound.
   * The loop's trip count is a runtime argument (one compile), and
     throughput is the DIFFERENCE quotient between a 2x and a 1x workload
     ((W2-W1)/(t2-t1)), cancelling constant dispatch/await overhead.
@@ -20,26 +20,47 @@ Methodology notes:
 Baseline (BASELINE.md): the reference publishes no numbers; the target of
 record is real-time full-band = 80 Msps/chip. vs_baseline = value / 80e6.
 
-A second, ingest-included figure is measured with a production-shaped
-double-buffered pipeline: the host sends only each block's NEW step samples
-as int16 (the SDR wire format — USRP ships 16-bit IQ, apps/btrx:134-138
-`-s` input-shorts path), device_put of block i+1 overlaps compute of block
-i, and the device keeps the overlap-save carry + does the int16->float
-conversion.  On this rig the host->device link is a ~0.1 GB/s tunnel, so
-the ingest-included number measures the tunnel, not the design: the
-pipeline needs step_samples*4 B per 64-slot block (12.8 MB / 40 ms of air
-time = 0.32 GB/s sustained) — below any production PCIe/DMA link (>=8
-GB/s) but ~3x above this tunnel.  Both numbers are reported; vs_baseline
-stays keyed to the device-compute bound.
+Additional figures in the JSON line:
+  * ingest-included samples/s for int16 AND int8 wire formats with the
+    production-shaped double-buffered pipeline (device-side carry +
+    conversion, device_put of block i+1 overlapping compute of block i),
+    plus the measured raw `device_put` link bandwidth that bounds them.
+  * roofline accounting: modeled HBM bytes + FLOPs per block for the
+    fused step under ideal fusion (each major intermediate written+read
+    once), the implied speed-of-light block time on this chip, and the
+    achieved fraction.  This names the headroom instead of guessing:
+    the step is HBM-bound, and the known gap is relayout traffic (the
+    polyphase deinterleave) plus unfused FIR passes.
+  * sniffer end-to-end: a busy capture (every 2nd slot occupied) through
+    the FULL Sniffer (device frontend + host packet decode), plus the
+    host-decode half alone (us/packet and the implied real-time factor
+    at a worst-case fully-busy 1600 packets/s air load).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"ingest_samples_per_s", "ingest_vs_baseline", "ingest_note"}.
+Prints ONE JSON line.
 """
 import json
 import sys
 import time
 
 import numpy as np
+
+FS, CENTER = 80e6, 2441e6
+BLOCK_SLOTS = 64
+N_DISTINCT = 8
+N1 = 128                      # timed blocks; second workload is 2*N1
+LAP, UAP = 0x24D952, 0x47
+
+# chip peaks for the roofline: device_kind -> (fp32 matmul FLOP/s,
+# HBM bytes/s).  fp32 matmuls run via the 3-pass bf16 split (~peak/4).
+CHIP_PEAKS = {
+    "TPU v4": (6.9e13, 1.23e12),
+    "TPU v5 lite": (4.9e13, 8.19e11),
+    "TPU v5": (1.15e14, 2.76e12),
+    "TPU v5p": (1.15e14, 2.76e12),
+    "TPU v6 lite": (2.3e14, 1.64e12),
+    "TPU v6e": (2.3e14, 1.64e12),
+}
+DEFAULT_PEAKS = (4.9e13, 8.19e11)
 
 
 def make_stream_runner(fe, n_distinct: int):
@@ -64,10 +85,10 @@ def make_stream_runner(fe, n_distinct: int):
     return run
 
 
-def make_ingest_runner(fe):
-    """Jitted step taking (carry, new int16 step samples): the device keeps
-    the overlap-save tail and converts int16->float32, so the host->device
-    transfer is exactly step_samples of wire-format (short) IQ per block."""
+def make_ingest_runner(fe, np_dtype, scale):
+    """Jitted step taking (carry, new wire-format step samples): the device
+    keeps the overlap-save tail and converts wire->float32, so the
+    host->device transfer is exactly step_samples of wire IQ per block."""
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +96,7 @@ def make_ingest_runner(fe):
 
     @jax.jit
     def step(carry, xi_new):
-        x_new = xi_new.astype(jnp.float32) * (1.0 / 32768.0)
+        x_new = xi_new.astype(jnp.float32) * scale
         xb = jnp.concatenate([carry, x_new], axis=1)
         _, n_hits, tab, win, _, _, _ = fe._jit_step(xb)
         acc = (n_hits.astype(jnp.float32) + tab[0, 1].astype(jnp.float32)
@@ -104,6 +125,19 @@ def run_ingest(step, carry0, blocks, k):
     return time.time() - t0
 
 
+def measure_raw_link(n_bytes: int = 12_800_000, repeats: int = 8) -> float:
+    """Raw host->device `device_put` bandwidth in GB/s (the evidence for
+    any ingest-figure interpretation; per-block wire size payload)."""
+    import jax
+    buf = np.ones(n_bytes // 2, np.int16)
+    jax.block_until_ready(jax.device_put(buf))         # warm
+    t0 = time.time()
+    for _ in range(repeats):
+        jax.block_until_ready(jax.device_put(buf))
+    dt = time.time() - t0
+    return n_bytes * repeats / dt / 1e9
+
+
 def make_parity_runner(fe, n_distinct: int):
     import jax
     import jax.numpy as jnp
@@ -123,6 +157,131 @@ def make_parity_runner(fe, n_distinct: int):
     return run
 
 
+def roofline(fe, dt_block: float, device_kind: str) -> dict:
+    """Model the fused step's FLOPs and HBM bytes per block under ideal
+    fusion, and report achieved fraction of the binding resource.
+
+    Byte model: each major intermediate is written once and read once
+    (input read once) — x (2,N) f32, deinterleaved xp (2,D,n_x), branch
+    outputs u (2,M,n), channel streams yr/yi (C+1,n), demod d (C,n),
+    sliced bits (C,n_sym) i8, packed word planes (9+1 int32 planes).
+    FLOP model: branch FIR (2 planes x 2 halves x Q x D x n MACs), DFT
+    (4 matmuls (C+1,M)@(M,n)), quadrature demod (~12 ops/sample), probe
+    conv (strided), detect kernel int-ops (~1100 bit-ops per 32-offset
+    word).  This is the SPEED-OF-LIGHT accounting: achieved_fraction < 1
+    quantifies headroom (known gaps: the deinterleave relayout costs ~3x
+    its ideal bytes because the lane dim is D=40 of 128, and the FIR's Q
+    shifted passes re-read xp from HBM when XLA does not fuse them).
+    """
+    b = fe.bank
+    M, D = b.sps, b.decim
+    Q = -(-b.ntaps // M)
+    N = fe.block_samples
+    n_x = N // D
+    n = n_x - 2 * Q
+    C = b.n_channels
+    n_sym = fe.n_sym
+    W = -(-(n_sym - 72 + 1) // 32)
+
+    f32 = 4
+    mb = [
+        ("x_in", 2 * N * f32),                        # read once
+        ("xp", 2 * 2 * n_x * D * f32),                # W+R
+        ("u", 2 * 2 * M * n * f32),
+        ("y", 2 * 2 * (C + 1) * n * f32),
+        ("demod", 2 * C * n * f32),
+        ("bits", 2 * C * n_sym),
+        ("planes", 2 * 10 * C * W * 4),
+    ]
+    hbm_bytes = sum(v for _, v in mb)
+
+    flops = {
+        "fir": 2 * 2 * 2 * Q * D * n,
+        "dft": 2 * 4 * M * (C + 1) * n,
+        "demod": 12 * C * n,
+        "probe": 2 * 4 * 80 * C * (n // 40),          # ~80-tap strided conv
+        "detect_intops": 1100 * C * W,
+    }
+    total_flops = sum(flops.values())
+
+    peak_flops, peak_bw = CHIP_PEAKS.get(device_kind, DEFAULT_PEAKS)
+    t_bytes = hbm_bytes / peak_bw
+    t_flops = total_flops / peak_flops
+    modeled = max(t_bytes, t_flops)
+    return {
+        "device_kind": device_kind,
+        "hbm_bytes_per_block": hbm_bytes,
+        "flops_per_block": total_flops,
+        "bound": "hbm" if t_bytes >= t_flops else "flops",
+        "modeled_ms": round(modeled * 1e3, 3),
+        "actual_ms": round(dt_block * 1e3, 3),
+        "achieved_fraction": round(modeled / dt_block, 3),
+        "note": "ideal-fusion speed-of-light; known gaps: deinterleave "
+                "relayout (lane dim 40/128) and unfused FIR passes",
+    }
+
+
+def bench_sniffer_e2e():
+    """Busy capture through the full Sniffer: device frontend + host
+    decode.  Returns e2e figures plus the host-decode half alone."""
+    import logging
+
+    from gr_bluetooth_tpu.models.sniffer import Sniffer
+    from gr_bluetooth_tpu.testing import PiconetSim, make_piconet_capture
+
+    n_slots = 256
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    samples, sent = make_piconet_capture(
+        sim, n_slots=n_slots, fs=FS, center_freq=CENTER, seed=13,
+        tx_slots=range(0, n_slots - 8, 2), noise_std=0.02)
+    x = np.stack([samples.real, samples.imag]).astype(np.float32)
+
+    logging.disable(logging.INFO)          # no console spam in the bench
+    try:
+        sn = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+        # warm: compile + piconet discovery state
+        blocks = list(sn.fe.stream(x))
+        sn.run_blocks(iter(blocks))
+        n_pkts = len(sn.decoded)
+
+        # e2e: stream + decode, fresh sniffer (known-piconet steady state
+        # comes from the FHS-free discovery inside the run itself); int16
+        # wire = the production SDR format (apps/btrx:134-138)
+        sn2 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+        list(sn2.fe.stream(x[:, :sn2.fe.step_samples +
+                             sn2.fe.overlap_samples], wire="i16"))  # compile
+        t0 = time.time()
+        sn2.run_blocks(sn2.fe.stream(x, wire="i16"))
+        t_e2e = time.time() - t0
+
+        # host half alone (precomputed device outputs), steady state
+        sn3 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+        sn3.run_blocks(iter(blocks))       # discovery warm-up
+        sn3.basic_rate_piconets.clear()
+        sn3.run_blocks(iter(blocks[:1]))   # re-discover once
+        t0 = time.time()
+        sn3.run_blocks(iter(blocks[1:]))
+        t_host = time.time() - t0
+        n_host = sum(len(r.hits) for r in blocks[1:])
+    finally:
+        logging.disable(logging.NOTSET)
+
+    n_samples = x.shape[1]
+    air_s = n_slots * 625e-6
+    us_per_pkt = t_host / max(n_host, 1) * 1e6
+    return {
+        "planted_pkts": len(sent),
+        "decoded_pkts": n_pkts,
+        "e2e_samples_per_s": round(n_samples / t_e2e, 1),
+        "e2e_x_realtime": round(air_s / t_e2e, 2),
+        "host_decode_us_per_pkt": round(us_per_pkt, 1),
+        "host_decode_x_realtime_at_1600pps": round(
+            1.0 / (1600 * us_per_pkt * 1e-6), 2),
+        "note": "e2e includes the measured-slow host link; host half is "
+                "the decode bound on a production link",
+    }
+
+
 def main():
     import jax
     # persistent compile cache: the fused full-band step takes minutes to
@@ -132,12 +291,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     from gr_bluetooth_tpu.models.frontend import FrontEnd
     from gr_bluetooth_tpu.testing import PiconetSim, make_piconet_capture
-
-    FS, CENTER = 80e6, 2441e6
-    BLOCK_SLOTS = 64
-    N_DISTINCT = 8
-    N1 = 128                      # timed blocks; second workload is 2*N1
-    LAP, UAP = 0x24D952, 0x47
 
     # max_ac_errors=1: the multi_LAP parity setting (btbb_find_ac,
     # lib/multi_LAP_impl.cc:74)
@@ -156,6 +309,7 @@ def main():
         x = np.pad(x, ((0, 0), (0, need - x.shape[1])))
     xd = jax.device_put(x[:, :need])
 
+    print("# bench: compiling device stream runner", file=sys.stderr)
     run = make_stream_runner(fe, N_DISTINCT)
     float(run(xd, 2))             # compile + settle; fetch forces completion
 
@@ -168,24 +322,33 @@ def main():
     dt_block = (t2 - t1) / N1
     samples_per_s = fe.step_samples / dt_block
 
-    # ingest-included: int16 wire blocks, double-buffered H2D vs compute
-    xi = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
-    blocks = [np.ascontiguousarray(
-        xi[:, fe.overlap_samples + i * fe.step_samples:
-           fe.overlap_samples + (i + 1) * fe.step_samples])
-        for i in range(N_DISTINCT - 1)]
-    ingest_step = make_ingest_runner(fe)
-    carry0 = jax.device_put(x[:, :fe.overlap_samples])
-    K1 = 16
-    run_ingest(ingest_step, carry0, blocks, 2)         # compile + settle
-    ti1 = run_ingest(ingest_step, carry0, blocks, K1)
-    ti2 = run_ingest(ingest_step, carry0, blocks, 2 * K1)
-    ingest_sps = fe.step_samples / ((ti2 - ti1) / K1)
+    print(f"# bench: device loop {samples_per_s/1e6:.0f} Msps; measuring raw link", file=sys.stderr)
+    raw_gbps = measure_raw_link()
+
+    print(f"# bench: raw link {raw_gbps:.3f} GB/s; ingest runs", file=sys.stderr)
+    # ingest-included: wire blocks, double-buffered H2D vs compute
+    ingest = {}
+    for name, np_dtype, scale, full in (
+            ("int16", np.int16, 32767.0, 32768.0),
+            ("int8", np.int8, 127.0, 128.0)):
+        xi = np.clip(x * scale, -full, full - 1).astype(np_dtype)
+        blocks = [np.ascontiguousarray(
+            xi[:, fe.overlap_samples + i * fe.step_samples:
+               fe.overlap_samples + (i + 1) * fe.step_samples])
+            for i in range(N_DISTINCT - 1)]
+        step = make_ingest_runner(fe, np_dtype, 1.0 / full)
+        carry0 = jax.device_put(x[:, :fe.overlap_samples])
+        K1 = 16
+        run_ingest(step, carry0, blocks, 2)            # compile + settle
+        ti1 = run_ingest(step, carry0, blocks, K1)
+        ti2 = run_ingest(step, carry0, blocks, 2 * K1)
+        ingest[name] = fe.step_samples / ((ti2 - ti1) / K1)
 
     # parity (untimed): every planted packet detected; slot 0 excluded
     # (the bit stream leads the input by the filter group delay, so a
     # packet in the capture's first symbols starts before bit index 0 —
     # the reference needs history before slot 0 too)
+    print("# bench: parity run", file=sys.stderr)
     parity_run = make_parity_runner(fe, N_DISTINCT)
     n_hits, tabs = (np.asarray(o) for o in parity_run(xd))
     got, laps = set(), set()
@@ -205,6 +368,11 @@ def main():
         print(f"# parity FAIL: missing={sorted(missing)[:5]} "
               f"laps={[hex(l) for l in laps]}", file=sys.stderr)
 
+    kind = jax.devices()[0].device_kind
+    roof = roofline(fe, dt_block, kind)
+    print("# bench: sniffer e2e (fresh sniffer-config compiles on first run)", file=sys.stderr)
+    e2e = bench_sniffer_e2e()
+
     value = samples_per_s if parity else 0.0
     print(json.dumps({
         "metric": "wideband IQ samples/s/chip (79-ch channelize+demod+AC "
@@ -212,12 +380,16 @@ def main():
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / 80e6, 2),
-        "ingest_samples_per_s": round(ingest_sps, 1),
-        "ingest_vs_baseline": round(ingest_sps / 80e6, 2),
-        "ingest_note": "int16 wire blocks, double-buffered device_put "
-                       "overlapped with compute; this rig's host->device "
-                       "tunnel is ~0.1 GB/s (needs 0.32 GB/s for real time "
-                       "at int16), so this bounds the tunnel, not the chip",
+        "raw_link_gbps": round(raw_gbps, 3),
+        "ingest_samples_per_s_int16": round(ingest["int16"], 1),
+        "ingest_samples_per_s_int8": round(ingest["int8"], 1),
+        "ingest_vs_baseline_int16": round(ingest["int16"] / 80e6, 2),
+        "ingest_vs_baseline_int8": round(ingest["int8"] / 80e6, 2),
+        "ingest_note": "wire blocks double-buffered against compute; "
+                       "real time needs 0.32 GB/s (int16) / 0.16 GB/s "
+                       "(int8) vs raw_link_gbps measured on this rig",
+        "roofline": roof,
+        "sniffer": e2e,
     }))
 
 
