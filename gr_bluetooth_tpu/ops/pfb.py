@@ -169,26 +169,35 @@ def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
     shifts on sublanes), and the DFT matmul (C, M) @ (M, n) hits the MXU
     with the long axis on lanes and no output transpose.
     """
-    Q = h0.shape[0]
-    n_x = x_ri.shape[1] // D
-    # xp[p, d, j] = x[p, j*D + d]: branches on sublanes, frames on lanes
-    xp = _deinterleave(x_ri[:, : n_x * D], D)
-    n = n_x - 2 * Q
-    # branch FIRs as Q fused shifted multiply-adds (VPU, lane-major)
-    v0 = jnp.zeros((2, D, n), jnp.float32)
-    v1 = jnp.zeros((2, D, n), jnp.float32)
-    for q in range(Q):
-        v0 = v0 + xp[:, :, 2 * q: 2 * q + n] * h0[q][None, :, None]
-        v1 = v1 + xp[:, :, 2 * q + 1: 2 * q + 1 + n] * h1[q][None, :, None]
-    u = jnp.concatenate([v0, v1], axis=1)              # (2, M, n)
-    # M-point DFT across branches, bins pre-selected (MXU):
-    # (C, M) @ (M, n) with frames staying on lanes
-    yr = dft_c.T @ u[0] + dft_s.T @ u[1]               # (C, n)
-    yi = dft_c.T @ u[1] - dft_s.T @ u[0]
-    # rotator e^{-j pi c n} = (-1)^{cn}: flip odd bins at odd frames
-    n_odd = (jnp.arange(n, dtype=jnp.int32) & 1).astype(jnp.float32)
-    sign = 1.0 - 2.0 * (bin_odd[:, None] * n_odd[None, :])
-    return yr * sign, yi * sign
+    def xla_path(x_ri):
+        Q = h0.shape[0]
+        n_x = x_ri.shape[1] // D
+        # xp[p, d, j] = x[p, j*D + d]: branches on sublanes, frames on lanes
+        xp = _deinterleave(x_ri[:, : n_x * D], D)
+        n = n_x - 2 * Q
+        # branch FIRs as Q fused shifted multiply-adds (VPU, lane-major)
+        v0 = jnp.zeros((2, D, n), jnp.float32)
+        v1 = jnp.zeros((2, D, n), jnp.float32)
+        for q in range(Q):
+            v0 = v0 + xp[:, :, 2 * q: 2 * q + n] * h0[q][None, :, None]
+            v1 = v1 + xp[:, :, 2 * q + 1: 2 * q + 1 + n] * h1[q][None, :, None]
+        u = jnp.concatenate([v0, v1], axis=1)              # (2, M, n)
+        # M-point DFT across branches, bins pre-selected (MXU):
+        # (C, M) @ (M, n) with frames staying on lanes
+        yr = dft_c.T @ u[0] + dft_s.T @ u[1]               # (C, n)
+        yi = dft_c.T @ u[1] - dft_s.T @ u[0]
+        # rotator e^{-j pi c n} = (-1)^{cn}: flip odd bins at odd frames
+        n_odd = (jnp.arange(n, dtype=jnp.int32) & 1).astype(jnp.float32)
+        sign = 1.0 - 2.0 * (bin_odd[:, None] * n_odd[None, :])
+        return yr * sign, yi * sign
+
+    def tpu_path(x_ri):
+        # single fused VMEM-resident kernel: read x once, write y once
+        from . import pfb_kernel
+        return pfb_kernel.pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s,
+                                               bin_odd, D)
+
+    return jax.lax.platform_dependent(x_ri, tpu=tpu_path, default=xla_path)
 
 
 def pfb_channelize(x, bank: PfbBank):
