@@ -56,6 +56,9 @@ def load():
     lib.bt_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                 ctypes.c_size_t]
     lib.bt_ring_pop.restype = ctypes.c_long
+    lib.bt_ring_pop_wait.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_size_t, ctypes.c_int]
+    lib.bt_ring_pop_wait.restype = ctypes.c_long
     lib.bt_ring_available.argtypes = [ctypes.c_void_p]
     lib.bt_ring_available.restype = ctypes.c_long
     lib.bt_ring_overruns.argtypes = [ctypes.c_void_p]

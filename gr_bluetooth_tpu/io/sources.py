@@ -67,62 +67,11 @@ def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
         pending = b""
         try:
             while nsamples is None or produced < nsamples:
-                n = lib.bt_ring_pop(ring, buf, need_bytes - len(pending))
-                if n < 0:
-                    break
-                if n == 0:
-                    continue
-                pending += buf.raw[:n]
-                if len(pending) >= need_bytes:
-                    yield convert(pending[:need_bytes])
-                    produced += chunk_samples
-                    pending = pending[need_bytes:]
-            if pending and (nsamples is None or produced < nsamples):
-                pad = pending + b"\0" * (need_bytes - len(pending))
-                yield convert(pad)
-        finally:
-            lib.bt_ring_destroy(ring)
-    else:
-        f = sys.stdin.buffer
-        while nsamples is None or produced < nsamples:
-            buf = f.read(need_bytes)
-            if not buf:
-                break
-            if len(buf) < need_bytes:
-                buf = buf + b"\0" * (need_bytes - len(buf))
-            yield convert(buf)
-            produced += chunk_samples
-
-
-def stream_stdin(chunk_samples: int, input_shorts: bool = False,
-                 nsamples: int | None = None, ring_mb: int = 64):
-    """Yield float32 (2, chunk_samples) planes from stdin.
-
-    Uses the native SPSC ring + reader thread when available (backpressure
-    mode — stdin is a pipe, not a live radio), plain blocking reads
-    otherwise.  Mirrors `btrx -i -` (apps/btrx:121-123)."""
-    itemsize = 4 if input_shorts else 8
-    per = 2 if input_shorts else 1
-    need_bytes = chunk_samples * itemsize
-    lib = native.load()
-    fd = sys.stdin.fileno()
-    produced = 0
-
-    def convert(buf: bytes) -> np.ndarray:
-        if input_shorts:
-            a = np.frombuffer(buf, dtype=np.int16).astype(np.float32)
-            a = a.reshape(-1, 2)
-            return np.ascontiguousarray(a.T)
-        return _to_planes(np.frombuffer(buf, dtype=np.complex64))
-
-    if lib is not None:
-        import ctypes
-        ring = lib.bt_ring_create(os.dup(fd), ring_mb << 20, 0)
-        buf = ctypes.create_string_buffer(need_bytes)
-        pending = b""
-        try:
-            while nsamples is None or produced < nsamples:
-                n = lib.bt_ring_pop(ring, buf, need_bytes - len(pending))
+                # blocking pop: a starved consumer sleeps on the ring's
+                # condvar instead of spinning a host core (the host
+                # thread is also the decode thread)
+                n = lib.bt_ring_pop_wait(ring, buf,
+                                         need_bytes - len(pending), 100)
                 if n < 0:
                     break
                 if n == 0:
@@ -214,8 +163,11 @@ class LiveSource:
         buf = ctypes.create_string_buffer(self.need_bytes)
         pending = b""
         while True:
-            n = self._lib.bt_ring_pop(self._ring, buf,
-                                      self.need_bytes - len(pending))
+            # blocking pop (100 ms cap): idle btrx costs ~0 CPU instead
+            # of a spinning core stolen from the decode thread
+            n = self._lib.bt_ring_pop_wait(self._ring, buf,
+                                           self.need_bytes - len(pending),
+                                           100)
             if n < 0:
                 break
             if n == 0:

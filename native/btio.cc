@@ -21,6 +21,9 @@
 #include <cstring>
 
 #include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <mutex>
 #include <thread>
 
 #include <fcntl.h>
@@ -133,17 +136,30 @@ struct BtRing {
   int fd;
   int drop_on_full;  // 1 = drop oldest (live source), 0 = backpressure
   std::thread thr;
+  // Wakeup for blocking consumers: the pump signals after each write and
+  // at EOF, so bt_ring_pop_wait sleeps instead of spinning a host core
+  // (the wake-fd role the Kismet plugin's socketpair plays,
+  // kismet/plugin-bluetooth/bluetooth_kismet_block.cc:107-120).
+  std::mutex mtx;
+  std::condition_variable cv;
 };
 
 // Drop-oldest semantics make the ring no longer strictly SPSC: both sides
 // move `tail`, so both use compare-exchange.  If the producer steals a
 // region the consumer is mid-copy, the consumer's CAS fails and it retries
 // (seqlock-style: torn reads are discarded, never returned).
+static void bt_ring_notify(BtRing *r) {
+  // lock/unlock pairs the notify with any waiter's predicate check, so a
+  // waiter that just saw "empty" cannot miss the wakeup
+  { std::lock_guard<std::mutex> g(r->mtx); }
+  r->cv.notify_all();
+}
+
 static void bt_ring_pump(BtRing *r) {
   unsigned char tmp[1 << 16];
   for (;;) {
     ssize_t n = read(r->fd, tmp, sizeof(tmp));
-    if (n <= 0) { r->eof.store(1); return; }
+    if (n <= 0) { r->eof.store(1); bt_ring_notify(r); return; }
     size_t off = 0;
     while (off < (size_t)n) {
       uint64_t head = r->head.load(std::memory_order_relaxed);
@@ -175,6 +191,7 @@ static void bt_ring_pump(BtRing *r) {
       memcpy(r->buf + pos, tmp + off, first);
       if (chunk > first) memcpy(r->buf, tmp + off + first, chunk - first);
       r->head.store(head + chunk, std::memory_order_release);
+      bt_ring_notify(r);
       off += chunk;
     }
   }
@@ -212,6 +229,23 @@ long bt_ring_pop(void *handle, unsigned char *out, size_t n) {
                                         std::memory_order_relaxed))
       return (long)take;
   }
+}
+
+// Blocking pop: wait up to timeout_ms for data before popping.  Returns
+// bytes copied, 0 on timeout with no data, -1 on EOF+empty.  The idle
+// cost is a condvar sleep, not a spin (VPU hosts share the decode core).
+long bt_ring_pop_wait(void *handle, unsigned char *out, size_t n,
+                      int timeout_ms) {
+  BtRing *r = (BtRing *)handle;
+  {
+    std::unique_lock<std::mutex> lk(r->mtx);
+    r->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms), [r] {
+      return r->head.load(std::memory_order_acquire) !=
+                 r->tail.load(std::memory_order_acquire) ||
+             r->eof.load();
+    });
+  }
+  return bt_ring_pop(handle, out, n);
 }
 
 long bt_ring_available(void *handle) {

@@ -168,6 +168,42 @@ def test_live_source_pipe_overrun_bounded():
     src.close()
 
 
+def test_idle_source_does_not_spin():
+    """A starved LiveSource sleeps on the ring's condvar instead of
+    burning a host core: CPU time over an idle second must be a small
+    fraction of wall time (the wake pattern of the Kismet plugin's
+    socketpair, bluetooth_kismet_block.cc:107-120 — previously the
+    consumer busy-polled bt_ring_pop)."""
+    from gr_bluetooth_tpu.io.sources import LiveSource
+    from gr_bluetooth_tpu.utils.metrics import Metrics
+
+    rfd, wfd = os.pipe()
+    src = LiveSource(rfd, chunk_samples=4096, ring_mb=1, metrics=Metrics())
+    os.close(rfd)
+    got = []
+
+    def consume():
+        for chunk in src.iter_raw():
+            got.append(chunk)
+
+    t = threading.Thread(target=consume)
+    c0 = time.process_time()
+    w0 = time.time()
+    t.start()
+    time.sleep(1.0)                   # pipe stays empty: consumer idles
+    cpu_idle = time.process_time() - c0
+    wall = time.time() - w0
+    # a busy-spin burns ~1 core (cpu ~= wall); the condvar wait is ~0
+    assert cpu_idle < 0.25 * wall, (cpu_idle, wall)
+    # data still flows after the idle period, then EOF terminates
+    os.write(wfd, b"\0" * (4096 * 8))
+    os.close(wfd)
+    t.join(timeout=5)
+    assert not t.is_alive()
+    assert len(got) == 1 and got[0].shape == (4096, 2)
+    src.close()
+
+
 def test_btbbdev_server_concurrent_clients_during_tick():
     """BTBBDEV server: clients connect (snapshot blits on the accept
     thread) while the processing thread observes + ticks at full rate —
