@@ -65,17 +65,20 @@ DEFAULT_PEAKS = (4.9e13, 8.19e11)
 
 def make_stream_runner(fe, n_distinct: int):
     """Jitted device-side streaming loop with a dynamic block count;
-    returns a checksum so nothing is dead-code-eliminated."""
+    returns a checksum so nothing is dead-code-eliminated.
+
+    Blocks are pre-staged on the leading axis of `x` ((K, 2, F, 128) via
+    fe.stage_block): leading-axis dynamic indexing is a contiguous copy,
+    where lane-axis dynamic_slice into one long stream measured an extra
+    ~0.6 ms/block of relayout that a production ingest never pays."""
     import jax
     import jax.numpy as jnp
-
-    step, bs = fe.step_samples, fe.block_samples
 
     @jax.jit
     def run(x, n_blocks):
         def body(i, acc):
-            pos = (i % n_distinct) * step
-            xb = jax.lax.dynamic_slice(x, (0, pos), (2, bs))
+            xb = jax.lax.dynamic_index_in_dim(x, i % n_distinct, 0,
+                                              keepdims=False)
             _, n_hits, tab, win, _, _, _ = fe._jit_step(xb)
             return (acc + n_hits.astype(jnp.float32)
                     + tab[0, 1].astype(jnp.float32)
@@ -83,6 +86,15 @@ def make_stream_runner(fe, n_distinct: int):
         return jax.lax.fori_loop(0, n_blocks, body, jnp.float32(0))
 
     return run
+
+
+def stage_blocks(fe, x: np.ndarray, n_distinct: int) -> np.ndarray:
+    """Cut a long (2, N) capture into n_distinct staged blocks
+    (K, 2, F, 128) for make_stream_runner / make_parity_runner."""
+    return np.stack([
+        fe.stage_block(x[:, i * fe.step_samples:
+                         i * fe.step_samples + fe.block_samples])
+        for i in range(n_distinct)])
 
 
 def make_ingest_runner(fe, np_dtype, scale):
@@ -142,12 +154,10 @@ def make_parity_runner(fe, n_distinct: int):
     import jax
     import jax.numpy as jnp
 
-    step, bs = fe.step_samples, fe.block_samples
-
     @jax.jit
     def run(x):
         def body(carry, i):
-            xb = jax.lax.dynamic_slice(x, (0, i * step), (2, bs))
+            xb = jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
             _, n_hits, tab, _, _, _, _ = fe._jit_step(xb)
             return carry, (n_hits, tab)
         _, ys = jax.lax.scan(body, 0,
@@ -161,17 +171,22 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
     """Model the fused step's FLOPs and HBM bytes per block under ideal
     fusion, and report achieved fraction of the binding resource.
 
-    Byte model: each major intermediate is written once and read once
-    (input read once) — x (2,N) f32, deinterleaved xp (2,D,n_x), branch
-    outputs u (2,M,n), channel streams yr/yi (C+1,n), demod d (C,n),
-    sliced bits (C,n_sym) i8, packed word planes (9+1 int32 planes).
-    FLOP model: branch FIR (2 planes x 2 halves x Q x D x n MACs), DFT
-    (4 matmuls (C+1,M)@(M,n)), quadrature demod (~12 ops/sample), probe
-    conv (strided), detect kernel int-ops (~1100 bit-ops per 32-offset
-    word).  This is the SPEED-OF-LIGHT accounting: achieved_fraction < 1
-    quantifies headroom (known gaps: the deinterleave relayout costs ~3x
-    its ideal bytes because the lane dim is D=40 of 128, and the FIR's Q
-    shifted passes re-read xp from HBM when XLA does not fuse them).
+    Byte model (matches the round-4 kernelized pipeline, where the only
+    HBM-resident tensors left are the staged input and the channel
+    streams): staged x (2, n_x, 128) f32 read once by the PFB kernel
+    (the 128-lane branch pad is physical, so its 3.2x is REAL traffic --
+    the ideal-unpadded figure is also reported), y (C+1, n) f32 written
+    by the PFB kernel and read 3x (SNR on + probe, demod kernel), packed
+    word/hit planes W+R (KBs).  The former intermediates -- deinterleaved
+    xp, branch outputs u, demod d, dense bits -- live only in VMEM now.
+    FLOP model: branch FIR (2 planes x 2 halves x Q x 128 lanes x n
+    MACs), DFT (8 NT matmuls (C+1, 128) x (TF, 128)), demod atan2
+    polynomial (~30 ops/sample) + 16-phase metrics, pack matmuls, probe
+    matmuls, detect kernel int-ops (~1100 bit-ops per 32-offset word).
+    This is the SPEED-OF-LIGHT accounting: achieved_fraction < 1
+    quantifies headroom (known residue: the y stream is re-read by SNR
+    and the demod kernel separately instead of once, and the stream
+    runner's leading-axis block index copies the staged input once).
     """
     b = fe.bank
     M, D = b.sps, b.decim
@@ -185,21 +200,19 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
 
     f32 = 4
     mb = [
-        ("x_in", 2 * N * f32),                        # read once
-        ("xp", 2 * 2 * n_x * D * f32),                # W+R
-        ("u", 2 * 2 * M * n * f32),
-        ("y", 2 * 2 * (C + 1) * n * f32),
-        ("demod", 2 * C * n * f32),
-        ("bits", 2 * C * n_sym),
-        ("planes", 2 * 10 * C * W * 4),
+        ("x_staged", 2 * n_x * 128 * f32),            # read once (padded)
+        ("y", (1 + 3) * 2 * (C + 1) * n * f32),       # W once, R 3x
+        ("words_planes", 2 * 10 * C * W * 4),
     ]
     hbm_bytes = sum(v for _, v in mb)
+    hbm_bytes_unpadded = hbm_bytes - 2 * n_x * (128 - D) * f32
 
     flops = {
-        "fir": 2 * 2 * 2 * Q * D * n,
-        "dft": 2 * 4 * M * (C + 1) * n,
-        "demod": 12 * C * n,
-        "probe": 2 * 4 * 80 * C * (n // 40),          # ~80-tap strided conv
+        "fir": 2 * 2 * 2 * Q * 128 * n,
+        "dft": 2 * 8 * 128 * (C + 1) * n,
+        "demod_metric": (30 + 16 * 4) * C * 2 * n_sym,
+        "pack_mm": 2 * C * (2 * 1152 * 64 + 2 * 64 * 16) * (n_sym // 512),
+        "probe": 2 * 4 * 200 * C * (n // 40),
         "detect_intops": 1100 * C * W,
     }
     total_flops = sum(flops.values())
@@ -211,13 +224,16 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
     return {
         "device_kind": device_kind,
         "hbm_bytes_per_block": hbm_bytes,
+        "hbm_bytes_ideal_unpadded": hbm_bytes_unpadded,
         "flops_per_block": total_flops,
         "bound": "hbm" if t_bytes >= t_flops else "flops",
         "modeled_ms": round(modeled * 1e3, 3),
         "actual_ms": round(dt_block * 1e3, 3),
         "achieved_fraction": round(modeled / dt_block, 3),
-        "note": "ideal-fusion speed-of-light; known gaps: deinterleave "
-                "relayout (lane dim 40/128) and unfused FIR passes",
+        "note": "speed-of-light for the round-4 kernelized pipeline "
+                "(staged input read once, y stream W+3R, planes); "
+                "residue: y re-reads (SNR/demod not fused into one "
+                "pass) + the runner's block-index copy",
     }
 
 
@@ -307,7 +323,7 @@ def main():
     need = N_DISTINCT * fe.step_samples + fe.overlap_samples
     if x.shape[1] < need:
         x = np.pad(x, ((0, 0), (0, need - x.shape[1])))
-    xd = jax.device_put(x[:, :need])
+    xd = jax.device_put(stage_blocks(fe, x[:, :need], N_DISTINCT))
 
     print("# bench: compiling device stream runner", file=sys.stderr)
     run = make_stream_runner(fe, N_DISTINCT)

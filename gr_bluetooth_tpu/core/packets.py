@@ -520,6 +520,16 @@ class LePacket:
     def _mac(self, off: int) -> str:
         return "".join(f"{int(b):02x}" for b in self.pdu[off:off + 6])
 
+    def adv_addr(self) -> str | None:
+        """AdvA of an advertising-channel PDU that carries one at the PDU
+        start (ADV_IND/ADV_DIRECT_IND/ADV_NONCONN_IND/ADV_SCAN_IND), else
+        None.  Used to pair a CONNECT_IND with its advertiser's ChSel bit
+        (BT 5.0 Vol 6 Part B §4.5.8: CSA#2 needs BOTH ends to set it)."""
+        if self.index < 37 or self.pdu_type not in (0, 1, 2, 6) or \
+                self.length < 6:
+            return None
+        return self._mac(0)
+
     def summary(self) -> str:
         """Dissection text mirroring le_packet_impl::print
         (lib/packet_impl.cc:1581-1665)."""

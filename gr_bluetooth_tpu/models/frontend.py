@@ -180,11 +180,19 @@ class FrontEnd:
             snr_static = dict(slot_ch=None, kappa=None,
                               slot_len=self.weights.slot_len)
 
+        # true output frames of a block: staged (2, F, 128) inputs carry a
+        # junk tail the step slices back to this, making staged and flat
+        # inputs bit-identical (ops/pfb_kernel.py:stage_host)
+        n_y = None
+        if isinstance(b, pfb.PfbBank):
+            Q = b.h0.shape[0]
+            n_y = self.block_samples // b.decim - 2 * Q
+
         self._step_kwargs = dict(
             **consts,
             is_pfb=isinstance(b, pfb.PfbBank),
             decim=b.decim, sps=b.sps, ch_sps=b.ch_sps,
-            demod_gain=b.demod_gain, n_sym=self.n_sym,
+            demod_gain=b.demod_gain, n_sym=self.n_sym, n_y=n_y,
             **snr_static,
             max_ac_errors=max_ac_errors,
             delay_sym=self.delay_sym,
@@ -194,6 +202,20 @@ class FrontEnd:
             use_pallas=self.use_pallas)
         self._jit_step = partial(_device_step, **self._step_kwargs)
         self._ingests: dict = {}        # wire -> PipelinedIngest (jit reuse)
+
+    def stage_block(self, x: np.ndarray) -> np.ndarray:
+        """Host-side staging of one (2, block_samples) float32 block into
+        the TPU kernel's native (2, F, 128) layout (pfb path only).
+
+        Pre-staging moves the lane-pad relayout (~1.2 ms/block on device)
+        out of the step; use for pre-loaded block sets (bench workloads,
+        replays).  Streaming paths keep the flat (2, N) form and pay the
+        relayout on device."""
+        b = self.bank
+        if not isinstance(b, pfb.PfbBank):
+            return np.asarray(x, dtype=np.float32)
+        from ..ops import pfb_kernel
+        return pfb_kernel.stage_host(x, b.decim, b.h0.shape[0])
 
     # ------------------------------------------------------------ device
 
@@ -298,7 +320,7 @@ class FrontEnd:
                                      sym_offset=t, distance=dist,
                                      snr_db=s_db, win_row=int(k)))
         else:
-            le_windows = np.zeros((0, LE_WIN_SYMBOLS // 8 + 1), np.uint8)
+            le_windows = np.zeros((0, LE_WIN_SYMBOLS // 32 + 1), np.int32)
 
         return BlockResult(slot_base=slot_base, snr_db=snr_db, hits=hits,
                            le_hits=le_hits, windows=windows,
@@ -306,8 +328,9 @@ class FrontEnd:
 
     @staticmethod
     def _unpack_window(row: np.ndarray, sym_offset: int, n: int) -> np.ndarray:
-        bits = np.unpackbits(row, bitorder="little")
-        s = sym_offset % 8
+        bits = np.unpackbits(np.ascontiguousarray(row).view(np.uint8),
+                             bitorder="little")
+        s = sym_offset % 32
         return bits[s: s + n].astype(np.int8)
 
     def packet_symbols(self, res: BlockResult, hit: Hit) -> np.ndarray:
@@ -408,11 +431,15 @@ def _extract_hits(mask, max_hits, payload_cols):
     # level 2: dense first-k inside the selected buckets only
     sidx = _first_k_indices(sub.reshape(-1), max_hits)
     idx = brow[sidx // B] * B + (sidx % B)         # flat indices, ordered
+    # fill positions (fewer than max_hits set bits) carry arbitrary
+    # in-range indices, which the bucket padding can push past total —
+    # clamp so derived chan/off stay in-domain even before `valid` masks
+    idx = jnp.minimum(idx, total - 1)
     valid = jnp.arange(max_hits, dtype=jnp.int32) < count
     chan = (idx // n).astype(jnp.int32)
     off = (idx % n).astype(jnp.int32)
-    cols = [chan, off] + [p.reshape(-1)[jnp.minimum(idx, total - 1)]
-                          .astype(jnp.int32) for p in payload_cols]
+    cols = [chan, off] + [p.reshape(-1)[idx].astype(jnp.int32)
+                          for p in payload_cols]
     tab = jnp.stack(cols, axis=1)
     tab = jnp.where(valid[:, None], tab, -1)
     return count, tab, chan, off, valid
@@ -462,14 +489,20 @@ def _squelch_gate_words(snr_db, word_s0, word_mask_a, squelch):
 
     A 32-offset word spans at most two slots (625 % 32 != 0): word w's
     low `mask_a` bits sit in slot s0[w], the rest in s0[w]+1 (indices and
-    masks are static — delay_sym and the slot grid are compile-time)."""
+    masks are static — delay_sym and the slot grid are compile-time).
+    The slot->word broadcast runs as one-hot (C, S+1) @ (S+1, W) matmuls:
+    the gather form cost ~0.1 ms/block in lane-gather relayouts where the
+    MXU does it for free."""
     S, C = snr_db.shape
-    g = (snr_db.T >= squelch)                      # (C, S)
+    g = (snr_db.T >= squelch).astype(jnp.float32)  # (C, S)
     g = jnp.pad(g, ((0, 0), (0, 1)), mode="edge")  # slot S mirrors S-1
     s0 = jnp.minimum(word_s0, S)
     s1 = jnp.minimum(word_s0 + 1, S)
-    g0 = g[:, s0]                                  # (C, W)
-    g1 = g[:, s1]
+    slots = jnp.arange(S + 1, dtype=jnp.int32)[:, None]
+    oh0 = (s0[None, :] == slots).astype(jnp.float32)       # (S+1, W)
+    oh1 = (s1[None, :] == slots).astype(jnp.float32)
+    g0 = (g @ oh0) > 0.5                           # (C, W)
+    g1 = (g @ oh1) > 0.5
     ma = word_mask_a[None, :]
     return (jnp.where(g0, ma, 0) | jnp.where(g1, ~ma, 0)).astype(jnp.int32)
 
@@ -487,32 +520,35 @@ def _word_slot_consts(n_words: int, delay_sym: int):
             mask_a.astype(np.int64).astype(np.uint32).view(np.int32))
 
 
-def _pack_bits(bits):
-    """(C, n_sym) {0,1} -> (C, ceil(n/8)) uint8, little-endian bit order."""
-    C, n = bits.shape
-    nb = -(-n // 8)
-    b = jnp.pad(bits, ((0, 0), (0, nb * 8 - n))).reshape(C, nb, 8)
-    sh = jnp.arange(8, dtype=jnp.int32)[None, None, :]
-    return (b.astype(jnp.int32) << sh).sum(-1).astype(jnp.uint8)
+def _unpack_word_rows(words, rows, n_sym: int):
+    """Dense float32 bit streams for a few selected rows of a packed
+    word plane — the LE path needs only its ~L on-grid rows, so unpacking
+    them from words is far cheaper than materializing all C dense rows."""
+    sel = words[rows]                                  # (R, W)
+    sh = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    b = (sel[:, :, None] >> sh) & 1                    # (R, W, 32)
+    return b.reshape(sel.shape[0], -1)[:, :n_sym].astype(jnp.float32)
 
 
-def _gather_windows(packed, chan, off, valid, width_bits):
-    """(K,) channel/bit-offset -> (K, width_bits//8 + 1) uint8 packed
+def _gather_windows(words, chan, off, valid, width_bits):
+    """(K,) channel/bit-offset -> (K, width_bits//32 + 1) int32 packed
     symbol windows.
 
-    vmapped dynamic_slice => one XLA gather of K *contiguous byte rows*
-    (slice_sizes=(1, wb)) instead of K*wb scalar gathers — the scalar form
-    was the single most expensive op in the whole device step on TPU.
-    The host unpacks (np.unpackbits) and drops the off%8 head bits."""
-    C, nb = packed.shape
-    wb = width_bits // 8 + 1
-    padded = jnp.pad(packed, ((0, 1), (0, wb)))    # row C = zeros (invalid)
+    vmapped dynamic_slice => one XLA gather of K *contiguous word rows*
+    (slice_sizes=(1, ww)) instead of K*ww scalar gathers.  Word (not
+    byte) rows: the uint8 form gathered 4x the elements, unaligned, and
+    cost ~0.45 ms/block on v5e (round-4 profile) vs ~0.1 for words.  The
+    host views the row as bytes, unpacks, and drops the off%32 head
+    bits."""
+    C, nw = words.shape
+    ww = width_bits // 32 + 1
+    padded = jnp.pad(words, ((0, 1), (0, ww)))     # row C = zeros (invalid)
     c = jnp.where(valid, chan, C).astype(jnp.int32)
-    o = jnp.clip(off // 8, 0, nb - 1).astype(jnp.int32)
+    o = jnp.clip(off // 32, 0, nw - 1).astype(jnp.int32)
     win = jax.vmap(
-        lambda ci, oi: jax.lax.dynamic_slice(padded, (ci, oi), (1, wb))[0]
+        lambda ci, oi: jax.lax.dynamic_slice(padded, (ci, oi), (1, ww))[0]
     )(c, o)
-    return win.astype(jnp.uint8)
+    return win
 
 
 def _squelch_gate(snr_db, n, delay_sym, squelch):
@@ -531,21 +567,28 @@ def _squelch_gate(snr_db, n, delay_sym, squelch):
 
 
 @partial(jax.jit, static_argnames=(
-    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "slot_len",
-    "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch", "max_hits",
-    "max_le_hits", "with_le", "use_pallas"))
+    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "n_y",
+    "slot_len", "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch",
+    "max_hits", "max_le_hits", "with_le", "use_pallas"))
 def _device_step(x_ri, *, A68, C68v,
                  h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
                  probe_re=None, probe_im=None,
                  kernel=None, rot_q=None, on_w=None, off_w=None,
                  word_s0=None, word_mask_a=None,
                  le_rows=None, le_white=None, le_aa_on=None, le_max_dist=None,
-                 is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
-                 slot_ch, kappa, max_ac_errors, delay_sym, squelch, max_hits,
-                 max_le_hits, with_le, use_pallas=False):
+                 is_pfb, decim, sps, ch_sps, demod_gain, n_sym, n_y=None,
+                 slot_len, slot_ch, kappa, max_ac_errors, delay_sym, squelch,
+                 max_hits, max_le_hits, with_le, use_pallas=False):
+    staged = x_ri.ndim == 3
     if is_pfb:
         # streams carry one extra probe row above the top channel
-        yr, yi = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, decim)
+        yr_f, yi_f = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd,
+                                   decim)
+        if staged:
+            # staged input: drop the junk tail -> identical to flat form
+            yr, yi = yr_f[:, :n_y], yi_f[:, :n_y]
+        else:
+            yr, yi = yr_f, yi_f
         snr_db, _, _ = snr._stream_snr_impl(yr, yi, probe_re, probe_im,
                                             slot_ch=slot_ch, kappa=kappa)
         yr, yi = yr[:-1], yi[:-1]
@@ -553,25 +596,35 @@ def _device_step(x_ri, *, A68, C68v,
         yr, yi = channelizer._channelize_impl(x_ri[None], kernel, rot_q, 0,
                                               decim=decim, sps=sps)
         snr_db, _, _ = snr._slot_snr_impl(x_ri, on_w, off_w, slot_len)
-    d = demod.quadrature_demod(yr, yi, demod_gain)
-    _, bits = demod.recover_symbols(d, ch_sps, n_sym)
 
     if use_pallas:
-        # packed hot path: the detect kernel's hit/error planes stay
-        # bit-packed (32 offsets/int32 word) end to end — squelch AND,
-        # sparse extraction, and window gather all run on word planes, so
-        # the dense (C, n) gate/err tensors never round-trip HBM
-        words = detect_pallas.pack_bits_words(bits)
-        n = bits.shape[1] - 72 + 1
+        # packed hot path: the symbol stream and the detect kernel's
+        # hit/error planes stay bit-packed (32 offsets/int32 word) end to
+        # end — squelch AND, sparse extraction, LAP, and window gather
+        # all run on word planes, so neither the dense (C, n_sym) bit
+        # plane nor the (C, n) gate/err tensors round-trip HBM
+        if staged:
+            # fused demod+timing+slicer+pack over the unsliced streams
+            # (the trailing zero tile feeds its window lookahead)
+            from ..ops import demod_kernel
+            words = demod_kernel.demod_timing_pack(yr_f, yi_f, demod_gain,
+                                                   n_sym)[:-1]
+            bits = None
+        else:
+            d = demod.quadrature_demod(yr, yi, demod_gain)
+            _, bits = demod.recover_symbols(d, ch_sps, n_sym)
+            words = detect_pallas.pack_bits_words(bits)
+        n = n_sym - 72 + 1
         hitw, _, errw = detect_pallas.detect_words(words, n, max_ac_errors)
         if squelch is not None:
             hitw = hitw & _squelch_gate_words(snr_db, word_s0, word_mask_a,
                                               squelch)
         n_hits, chan, off, valid = _extract_hits_packed(hitw, max_hits)
         err = _gather_err_packed(errw, chan, off)
-        packed = jax.lax.bitcast_convert_type(words, jnp.uint8)
-        packed = packed.reshape(words.shape[0], -1)
+        lap_raw = detect.lap_from_words(words, chan, off)
     else:
+        d = demod.quadrature_demod(yr, yi, demod_gain)
+        _, bits = demod.recover_symbols(d, ch_sps, n_sym)
         hits, err_d = detect._classic_detect_impl(bits, A68, C68v,
                                                   max_ac_errors, 2)
         if squelch is not None:
@@ -579,15 +632,19 @@ def _device_step(x_ri, *, A68, C68v,
                                         squelch)
         n_hits, tab, chan, off, valid = _extract_hits(hits, max_hits, [err_d])
         err = tab[:, 2]
-        packed = _pack_bits(bits)
-    lap = jnp.where(valid, detect.lap_at(bits, chan, off), -1)
+        words = detect_pallas.pack_bits_words(bits)
+        lap_raw = detect.lap_at(bits, chan, off)
+    lap = jnp.where(valid, lap_raw, -1)
     neg = jnp.int32(-1)
     tab = jnp.stack([jnp.where(valid, chan, neg), jnp.where(valid, off, neg),
                      lap, jnp.where(valid, err, neg)], axis=1)
-    windows = _gather_windows(packed, chan, off, valid, WIN_SYMBOLS)
+    windows = _gather_windows(words, chan, off, valid, WIN_SYMBOLS)
 
     if with_le:
-        le_bits = bits[le_rows].astype(jnp.float32)
+        if bits is None:
+            le_bits = _unpack_word_rows(words, le_rows, n_sym)
+        else:
+            le_bits = bits[le_rows].astype(jnp.float32)
         le_hits, le_dist = detect._le_detect_batch_impl(
             le_bits, le_white, le_aa_on, le_max_dist)
         if squelch is not None:
@@ -595,7 +652,7 @@ def _device_step(x_ri, *, A68, C68v,
             le_hits = le_hits & gate[le_rows]
         n_le, le_tab, le_chan, le_off, le_valid = _extract_hits(
             le_hits, max_le_hits, [le_dist])
-        le_windows = _gather_windows(packed, le_rows[le_chan], le_off,
+        le_windows = _gather_windows(words, le_rows[le_chan], le_off,
                                      le_valid, LE_WIN_SYMBOLS)
     else:
         n_le, le_tab, le_windows = None, None, None
@@ -603,9 +660,10 @@ def _device_step(x_ri, *, A68, C68v,
 
 
 @partial(jax.jit, static_argnames=(
-    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "slot_len",
-    "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch", "max_hits",
-    "max_le_hits", "with_le", "use_pallas", "wire_scale", "overlap"))
+    "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "n_y",
+    "slot_len", "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch",
+    "max_hits", "max_le_hits", "with_le", "use_pallas", "wire_scale",
+    "overlap"))
 def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
                     h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
                     probe_re=None, probe_im=None,
@@ -613,9 +671,10 @@ def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
                     word_s0=None, word_mask_a=None,
                     le_rows=None, le_white=None, le_aa_on=None,
                     le_max_dist=None,
-                    is_pfb, decim, sps, ch_sps, demod_gain, n_sym, slot_len,
-                    slot_ch, kappa, max_ac_errors, delay_sym, squelch,
-                    max_hits, max_le_hits, with_le, use_pallas=False):
+                    is_pfb, decim, sps, ch_sps, demod_gain, n_sym, n_y=None,
+                    slot_len, slot_ch, kappa, max_ac_errors, delay_sym,
+                    squelch, max_hits, max_le_hits, with_le,
+                    use_pallas=False):
     """Production ingest step: (device carry, RAW wire chunk) ->
     (next carry, _device_step outputs).
 
@@ -637,7 +696,7 @@ def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
         word_s0=word_s0, word_mask_a=word_mask_a, le_rows=le_rows,
         le_white=le_white, le_aa_on=le_aa_on, le_max_dist=le_max_dist,
         is_pfb=is_pfb, decim=decim, sps=sps, ch_sps=ch_sps,
-        demod_gain=demod_gain, n_sym=n_sym, slot_len=slot_len,
+        demod_gain=demod_gain, n_sym=n_sym, n_y=n_y, slot_len=slot_len,
         slot_ch=slot_ch, kappa=kappa, max_ac_errors=max_ac_errors,
         delay_sym=delay_sym, squelch=squelch, max_hits=max_hits,
         max_le_hits=max_le_hits, with_le=with_le, use_pallas=use_pallas)

@@ -42,6 +42,7 @@ class Sniffer:
         self.enable_le = enable_le
         self.basic_rate_piconets: dict[int, BasicRatePiconet] = {}
         self.low_energy_piconets: dict[int, LowEnergyPiconet] = {}
+        self._adv_chsel: dict[str, int] = {}      # AdvA -> ChSel bit seen
         self.decoded: list[ClassicPacket] = []
         self.le_packets: list[LePacket] = []
 
@@ -162,8 +163,19 @@ class Sniffer:
                 # CONNECT_REQ: seed a follower for the new connection's AA
                 # (the reference only prints the LLData,
                 # lib/packet_impl.cc:1619-1665)
+                # advertiser ChSel tracking: CSA#2 requires BOTH the
+                # advertiser's PDU and the CONNECT_IND to set ChSel=1
+                # (BT 5.0 Vol 6 Part B §4.5.8) — a BT5 initiator
+                # connecting to a legacy advertiser stays on CSA#1
+                adv_a = pkt.adv_addr()
+                if adv_a is not None and pkt.crc_ok():
+                    self._adv_chsel[adv_a] = pkt.ch_sel
                 fields = pkt.connect_req_fields()
                 if fields is not None and pkt.crc_ok():
+                    adv_cs = self._adv_chsel.get(fields["adv_a"])
+                    if adv_cs is not None:
+                        fields = dict(fields,
+                                      ch_sel=fields["ch_sel"] & adv_cs)
                     conn = self.low_energy_piconets.get(fields["aa"])
                     if conn is None:
                         conn = LowEnergyPiconet(aa=fields["aa"])

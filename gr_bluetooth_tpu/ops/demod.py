@@ -34,7 +34,7 @@ def quadrature_demod(yr, yi, gain: float):
 
 @partial(jax.jit, static_argnames=("ch_sps", "n_sym", "n_phases", "group"))
 def recover_symbols(d, ch_sps: float, n_sym: int, n_phases: int = 16,
-                    group: int = 625):
+                    group: int = 512):
     """Feedforward timing recovery over a demodulated block.
 
     d: (C, N) float32.  Returns (soft, bits): (C, n_sym) float32 soft symbol
@@ -70,7 +70,7 @@ def recover_symbols(d, ch_sps: float, n_sym: int, n_phases: int = 16,
 
 @partial(jax.jit, static_argnames=("n_sym", "n_phases", "group"))
 def _recover_symbols_sps2(d, n_sym: int, n_phases: int = 16,
-                          group: int = 625):
+                          group: int = 512):
     """Strided timing recovery at exactly 2 samples/symbol: every phase
     tau = p/8 interpolates between two of the three strided views
     d[2k], d[2k+1], d[2k+2] with a FIXED fraction — no gathers at all.
@@ -117,6 +117,6 @@ def _recover_symbols_sps2(d, n_sym: int, n_phases: int = 16,
 
 
 def demod_and_slice(yr, yi, gain: float, ch_sps: float, n_sym: int,
-                    n_phases: int = 16, group: int = 625):
+                    n_phases: int = 16, group: int = 512):
     d = quadrature_demod(yr, yi, gain)
     return recover_symbols(d, ch_sps, n_sym, n_phases=n_phases, group=group)

@@ -105,6 +105,27 @@ def lap_at(bits, chan, off):
     return (rows.astype(jnp.int32) << j).sum(-1).astype(jnp.int32)
 
 
+def lap_from_words(words, chan, off):
+    """lap_at on the bit-packed word planes (detect_pallas layout): the
+    24 LAP bits at symbol off+38 span two 32-bit words, so each candidate
+    costs one 2-word row slice + a funnel shift — ~10x less gather traffic
+    than the 24-byte dense-row form (round-4 host-side of the device-step
+    profile: lap_at was ~0.4 ms/block of the extract tail)."""
+    C, W = words.shape
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    start = off + 38
+    c = jnp.clip(chan, 0, C - 1).astype(jnp.int32)
+    w0 = jnp.clip(start >> 5, 0, W - 2).astype(jnp.int32)
+    sh = (start & 31).astype(jnp.uint32)
+    rows = jax.vmap(
+        lambda ci, wi: jax.lax.dynamic_slice(u, (ci, wi), (1, 2))[0]
+    )(c, w0)                                           # (K, 2) uint32
+    lo = rows[:, 0] >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   rows[:, 1] << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    return ((lo | hi) & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+
+
 def classic_detect(bits, max_ac_errors: int = 6, max_distance: int = 2):
     """bits: (C, T) {0,1}.  Returns (hits bool, err int32, lap int32),
     each (C, T-71): candidate access-code starts per channel/offset."""

@@ -157,7 +157,10 @@ def _deinterleave(x2, D: int):
 
 @partial(jax.jit, static_argnames=("D",))
 def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
-    """x_ri: (2, N) float32 IQ planes -> (yr, yi) each (C, n_frames).
+    """x_ri: (2, N) float32 IQ planes -> (yr, yi) each (C, n_frames);
+    also accepts the pre-staged (2, F, 128) layout (pfb_kernel.stage_host)
+    and then returns (C, n_tiles*TF) with junk tail columns the consumer
+    slices away.
 
     Frame n covers input samples [nD, nD + 2QD): identical window placement
     to the VALID strided conv, so downstream group-delay accounting is
@@ -169,18 +172,32 @@ def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
     shifts on sublanes), and the DFT matmul (C, M) @ (M, n) hits the MXU
     with the long axis on lanes and no output transpose.
     """
+    from . import pfb_kernel
+
+    staged = x_ri.ndim == 3
+    Q = h0.shape[0]
+
     def xla_path(x_ri):
-        Q = h0.shape[0]
-        n_x = x_ri.shape[1] // D
-        # xp[p, d, j] = x[p, j*D + d]: branches on sublanes, frames on lanes
-        xp = _deinterleave(x_ri[:, : n_x * D], D)
-        n = n_x - 2 * Q
-        # branch FIRs as Q fused shifted multiply-adds (VPU, lane-major)
+        if staged:
+            # un-stage (tests / CPU dryrun of staged callers): frames
+            # beyond the true stream are zeros, their outputs junk —
+            # shape must match the TPU branch, content is sliced later
+            n_x = x_ri.shape[1]
+            xp = x_ri[:, :, :D].transpose(0, 2, 1)
+            n = (n_x - pfb_kernel._LOOKAHEAD)
+        else:
+            n_x = x_ri.shape[1] // D
+            # xp[p, d, j] = x[p, j*D+d]: branches sublanes, frames lanes
+            xp = _deinterleave(x_ri[:, : n_x * D], D)
+            n = n_x - 2 * Q
+        # branch FIRs as Q fused shifted multiply-adds (VPU, lane-major);
+        # staged: max slice end = 2Q-1+n = F+2Q-129 <= F, in bounds
         v0 = jnp.zeros((2, D, n), jnp.float32)
         v1 = jnp.zeros((2, D, n), jnp.float32)
         for q in range(Q):
-            v0 = v0 + xp[:, :, 2 * q: 2 * q + n] * h0[q][None, :, None]
-            v1 = v1 + xp[:, :, 2 * q + 1: 2 * q + 1 + n] * h1[q][None, :, None]
+            v0 = v0 + xp[:, :, 2 * q: 2 * q + n] * h0[q, :D][None, :, None]
+            v1 = v1 + xp[:, :, 2 * q + 1: 2 * q + 1 + n] * \
+                h1[q, :D][None, :, None]
         u = jnp.concatenate([v0, v1], axis=1)              # (2, M, n)
         # M-point DFT across branches, bins pre-selected (MXU):
         # (C, M) @ (M, n) with frames staying on lanes
@@ -189,11 +206,16 @@ def _pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int):
         # rotator e^{-j pi c n} = (-1)^{cn}: flip odd bins at odd frames
         n_odd = (jnp.arange(n, dtype=jnp.int32) & 1).astype(jnp.float32)
         sign = 1.0 - 2.0 * (bin_odd[:, None] * n_odd[None, :])
-        return yr * sign, yi * sign
+        yr, yi = yr * sign, yi * sign
+        if staged:
+            # the TPU kernel emits one extra zero-filled tile for its
+            # windowed consumers — mirror it
+            z = ((0, 0), (0, pfb_kernel._TF))
+            yr, yi = jnp.pad(yr, z), jnp.pad(yi, z)
+        return yr, yi
 
     def tpu_path(x_ri):
         # single fused VMEM-resident kernel: read x once, write y once
-        from . import pfb_kernel
         return pfb_kernel.pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s,
                                                bin_odd, D)
 

@@ -2,30 +2,35 @@
 
 The XLA formulation (ops/pfb.py:_pfb_impl) lowers to HBM-resident stages —
 deinterleave relayout, Q-pass branch FIR, DFT matmuls, rotator — whose
-intermediate u (2, M, n) round-trips HBM between fusions, and whose FIR
-passes re-read xp.  At the full-band shape that traffic, not FLOPs, is the
-bound (bench.py roofline).
+intermediate u (2, M, n) round-trips HBM between fusions.  At the
+full-band shape that traffic, not FLOPs, is the bound (bench.py roofline);
+round-4 profiling (scratch/profile_step.py) attributed ~1.0 ms/block to
+the standalone deinterleave relayout alone.
 
-This kernel consumes the deinterleaved stream xp (2, D, n) (produced by
-pfb._deinterleave, itself a copy-speed Pallas transpose) and performs
-FIR + DFT + rotator per time tile inside VMEM:
+This kernel consumes the RAW interleaved stream with NO deinterleave
+pass: x (2, N) is viewed as (2, n_x, D) — frames on sublanes, branches
+on lanes — which XLA lowers as a zero-cost linear-layout reshape, then
+the branch (lane) axis is zero-padded to a full 128-lane tile (~0.2 ms,
+the only relayout left; Mosaic DMA requires a 128-aligned minor dim for
+sliced copies).  Per time tile inside VMEM:
 
-    HBM -> DMA (overlapping 128-aligned frame window, double-buffered)
-        -> branch FIRs (VPU, Q shifted FMAs over the lane axis)
-        -> M-point DFT as four (C, D) @ (D, TF) half-matmuls (MXU;
-           the branch halves v0/v1 are never concatenated — the DFT
-           matrix is split instead, Mosaic-friendly)
+    HBM -> DMA (overlapping frame window (2, W, 128), double-buffered)
+        -> branch FIRs frame-major: Q sublane-shifted FMAs producing
+           v0/v1 (TF, 128) per plane (VPU; no transposes anywhere —
+           Mosaic's (TF, 40) shuffle-transpose measured ~17 us/tile,
+           which was the round-3 kernel's hidden cost)
+        -> M-point DFT as four NT matmuls (C, 128) x (TF, 128)
+           contracting the 128-lane branch axis (MXU; the branch halves
+           v0/v1 are never concatenated — the DFT matrix is split)
         -> (-1)^{cn} rotator (sign matrix baked per tile phase)
         -> HBM (y tiles)
 
-HBM traffic for this stage collapses to: read xp once (+128/TF window
-overlap), write yr/yi once.  The input cannot use the implicit pallas
-pipeline because consecutive tiles need OVERLAPPING windows (frame j
-draws on frames [j, j + 2Q)), so xp stays in ANY memory and windows are
-fetched with `pltpu.make_async_copy`, next-tile fetch overlapping
-current-tile compute.  DMA alignment rules: window length and tile
-offsets are multiples of 128 lanes; the branch axis D is padded to the
-8-sublane tile when needed (taps/DFT columns zero-padded, exact math).
+HBM traffic for this stage collapses to: read the padded stream once
+(+ window overlap), write yr/yi once.  The input cannot use the implicit
+pallas pipeline because consecutive tiles need OVERLAPPING windows
+(frame j draws on frames [j, j + 2Q)), so the stream stays in ANY memory
+and windows are fetched with `pltpu.make_async_copy`, next-tile fetch
+overlapping current-tile compute.
 
 Same math as _pfb_impl — identical window placement, prototype taps, DDC
 phase convention (reference design: lib/multi_block.cc:62-79, 180-228);
@@ -41,111 +46,176 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pfb_channelize_fused"]
+__all__ = ["pfb_channelize_fused", "staged_geometry", "stage_host"]
 
 _TF = 1024                     # output frames per tile (multiple of 128)
 _LOOKAHEAD = 128               # window = TF + 128 frames (>= TF + 2Q)
+_LD = 128                      # staged branch-lane width (DMA tile width)
 
 
-def _kernel(xp_hbm, h0, h1, cm0, cm1, sm0, sm1, sign, yr_out, yi_out,
-            xs, sem, *, Q: int, TF: int):
+def staged_geometry(n_samples: int, D: int, Q: int):
+    """Geometry of the staged (2, F, _LD) input layout for a block of
+    `n_samples` wideband samples: returns (F, n_tiles, TF, n).
+
+    F frames = n_tiles * TF + _LOOKAHEAD; frames beyond n_samples // D are
+    junk (zeros) whose polluted outputs lie beyond frame n = n_x - 2Q and
+    are sliced away by the consumer.  Staged tiles are always _TF frames
+    (the layout must be invertible from F alone)."""
+    n_x = n_samples // D
+    n = n_x - 2 * Q
+    TF = _TF
+    n_tiles = -(-n // TF)
+    return n_tiles * TF + _LOOKAHEAD, n_tiles, TF, n
+
+
+def stage_host(x: np.ndarray, D: int, Q: int) -> np.ndarray:
+    """Host-side staging: (2, N) float32 planes -> (2, F, _LD) float32.
+
+    A cheap numpy fill; the device-side equivalent (reshape + lane pad of
+    the whole stream) is a ~1.2 ms XLA relayout per full-band block, so
+    paths that can stage at the source (pre-loaded bench blocks, the
+    ingest conversion) should."""
+    x = np.asarray(x, dtype=np.float32)
+    n_x = x.shape[1] // D
+    F, _, _, _ = staged_geometry(x.shape[1], D, Q)
+    out = np.zeros((2, F, _LD), dtype=np.float32)
+    out[:, :n_x, :D] = x[:, : n_x * D].reshape(2, n_x, D)
+    return out
+
+
+def _kernel(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign, yr_out, yi_out,
+            xs, sem, *, Q: int, TF: int, n_data: int):
     i = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
     W = TF + _LOOKAHEAD
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
 
+    # grid steps beyond n_data (staged mode's trailing tile) write zeros
+    # for downstream windowed consumers and touch no input
     def window_copy(tile, dst_slot):
         return pltpu.make_async_copy(
-            xp_hbm.at[:, :, pl.ds(tile * TF, W)],
+            xv_hbm.at[:, pl.ds(tile * TF, W), :],
             xs.at[dst_slot], sem.at[dst_slot])
 
     @pl.when(i == 0)
     def _():
         window_copy(0, 0).start()
 
-    @pl.when(i + 1 < n_tiles)
+    @pl.when(i + 1 < n_data)
     def _():
         window_copy(i + 1, nxt).start()
 
-    window_copy(i, slot).wait()
+    @pl.when(i >= n_data)
+    def _():
+        yr_out[...] = jnp.zeros_like(yr_out)
+        yi_out[...] = jnp.zeros_like(yi_out)
 
-    xw = xs[slot]                                  # (2, D_p, W)
-    D_p = xw.shape[1]
-    h0v, h1v = h0[...], h1[...]                    # (Q, D_p)
-    v0 = jnp.zeros((2, D_p, TF), jnp.float32)
-    v1 = jnp.zeros((2, D_p, TF), jnp.float32)
-    for q in range(Q):
-        v0 = v0 + xw[:, :, 2 * q: 2 * q + TF] * h0v[q][None, :, None]
-        v1 = v1 + xw[:, :, 2 * q + 1: 2 * q + 1 + TF] * h1v[q][None, :, None]
+    @pl.when(i < n_data)
+    def _():
+        window_copy(i, slot).wait()
 
-    def dft(m0, m1):
-        return (jnp.dot(m0, v0[0], preferred_element_type=jnp.float32)
-                + jnp.dot(m1, v1[0], preferred_element_type=jnp.float32),
-                jnp.dot(m0, v0[1], preferred_element_type=jnp.float32)
-                + jnp.dot(m1, v1[1], preferred_element_type=jnp.float32))
+        LD = xs.shape[3]
+        h0v, h1v = h0[...], h1[...]                # (Q, LD)
+        v0, v1 = [], []
+        for p in range(2):
+            a0 = jnp.zeros((TF, LD), jnp.float32)
+            a1 = jnp.zeros((TF, LD), jnp.float32)
+            for q in range(Q):
+                a0 = a0 + xs[slot, p, pl.ds(2 * q, TF), :] * h0v[q][None, :]
+                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TF), :] * \
+                    h1v[q][None, :]
+            v0.append(a0)
+            v1.append(a1)
 
-    cr, ci = dft(cm0[...], cm1[...])               # cos branch, I/Q
-    sr, si = dft(sm0[...], sm1[...])               # sin branch, I/Q
-    # rotator e^{-j pi c n} = (-1)^{cn}: TF is even, so the frame-parity
-    # pattern is tile-invariant and baked into the (C, TF) sign matrix
-    yr_out[...] = (cr + si) * sign[...]
-    yi_out[...] = (ci - sr) * sign[...]
+        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
+
+        def dft(m0, m1):
+            return (jax.lax.dot_general(m0, v0[0], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[0], ddn,
+                                          preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(m0, v0[1], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[1], ddn,
+                                          preferred_element_type=jnp.float32))
+
+        cr, ci = dft(cm0[...], cm1[...])           # cos branch, I/Q
+        sr, si = dft(sm0[...], sm1[...])           # sin branch, I/Q
+        # rotator e^{-j pi c n} = (-1)^{cn}: TF is even, so the frame-
+        # parity pattern is tile-invariant, baked into the (C, TF) signs
+        yr_out[...] = (cr + si) * sign[...]
+        yi_out[...] = (ci - sr) * sign[...]
 
 
 @partial(jax.jit, static_argnames=("D", "interpret"))
 def pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int,
                          interpret: bool = False):
-    """x_ri: (2, N) float32 -> (yr, yi) each (C, n), n = N//D - 2Q.
+    """x_ri: (2, N) float32 flat planes, OR the pre-staged (2, F, _LD)
+    layout from stage_host/staged_geometry.
 
-    Drop-in equal to pfb._pfb_impl (same frame windows / group delay).
+    Flat input: returns (yr, yi) each (C, n), n = N//D - 2Q — drop-in
+    equal to pfb._pfb_impl (same frame windows / group delay) — paying a
+    device-side staging relayout (~1.2 ms at full band).
+    Staged input: returns (C, n_tiles*TF) with junk columns beyond the
+    true n; the consumer slices to what it needs.
     """
-    from .pfb import _deinterleave
-
     Q = h0.shape[0]
     if 2 * Q > _LOOKAHEAD:
         raise ValueError(f"prototype too long for the DMA lookahead: "
                          f"2Q={2 * Q} > {_LOOKAHEAD}")
     C = dft_c.shape[1]
-    n_x = x_ri.shape[1] // D
-    n = n_x - 2 * Q
-    TF = _TF if n >= _TF else -(-n // 128) * 128
-    n_tiles = -(-n // TF)
-    need = n_tiles * TF + _LOOKAHEAD        # frames incl. DMA lookahead
+    LD = max(_LD, -(-D // 128) * 128)
+    if x_ri.ndim == 3:
+        if x_ri.shape[2] != LD:
+            raise ValueError(f"staged input lane width {x_ri.shape[2]} != "
+                             f"{LD}")
+        xv = x_ri
+        n_tiles = (xv.shape[1] - _LOOKAHEAD) // _TF
+        TF = _TF
+        n = None                            # caller slices
+        # one extra zero-filled output tile: downstream windowed kernels
+        # (ops/demod_kernel.py) read y in 128-frame-lookahead windows of
+        # their own, so give them deterministic zeros to land in
+        grid_tiles = n_tiles + 1
+    else:
+        n_x = x_ri.shape[1] // D
+        n = n_x - 2 * Q
+        TF = _TF if n >= _TF else -(-n // 128) * 128
+        n_tiles = -(-n // TF)
+        grid_tiles = n_tiles
+        need = n_tiles * TF + _LOOKAHEAD    # frames incl. DMA lookahead
+        # free reshape: frame j, branch d = x[jD + d] (row-major
+        # contiguity); branch (lane) axis padded to a full 128-lane tile
+        # for the DMA (the relayout staging avoids)
+        xv = x_ri[:, : n_x * D].reshape(2, n_x, D)
+        xv = jnp.pad(xv, ((0, 0), (0, max(0, need - n_x)), (0, LD - D)))
 
-    xp = _deinterleave(x_ri[:, : n_x * D], D)          # (2, D, n_x)
-    D_p = -(-D // 8) * 8                    # sublane-aligned branch axis
-    pad_d, pad_f = D_p - D, max(0, need - n_x)
-    if pad_d or pad_f:
-        xp = jnp.pad(xp, ((0, 0), (0, pad_d), (0, pad_f)))
-        h0 = jnp.pad(h0, ((0, 0), (0, pad_d)))
-        h1 = jnp.pad(h1, ((0, 0), (0, pad_d)))
-    elif need > n_x:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, need - n_x)))
+    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
+    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
 
     # DFT matrix split into branch halves (rows of u = (v0 ; v1))
     cm = jnp.asarray(dft_c).T                          # (C, M)
     sm = jnp.asarray(dft_s).T
-    cm0 = jnp.pad(cm[:, :D], ((0, 0), (0, pad_d)))
-    cm1 = jnp.pad(cm[:, D:], ((0, 0), (0, pad_d)))
-    sm0 = jnp.pad(sm[:, :D], ((0, 0), (0, pad_d)))
-    sm1 = jnp.pad(sm[:, D:], ((0, 0), (0, pad_d)))
+    cm0 = jnp.pad(cm[:, :D], ((0, 0), (0, LD - D)))
+    cm1 = jnp.pad(cm[:, D:], ((0, 0), (0, LD - D)))
+    sm0 = jnp.pad(sm[:, :D], ((0, 0), (0, LD - D)))
+    sm1 = jnp.pad(sm[:, D:], ((0, 0), (0, LD - D)))
 
     parity = jnp.asarray((np.arange(TF) & 1).astype(np.float32))
     sign = 1.0 - 2.0 * (jnp.asarray(bin_odd)[:, None] * parity[None, :])
 
     W = TF + _LOOKAHEAD
     yr, yi = pl.pallas_call(
-        partial(_kernel, Q=Q, TF=TF),
-        grid=(n_tiles,),
+        partial(_kernel, Q=Q, TF=TF, n_data=n_tiles),
+        grid=(grid_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),               # xp (HBM)
-            pl.BlockSpec((Q, D_p), lambda i: (0, 0)),        # h0
-            pl.BlockSpec((Q, D_p), lambda i: (0, 0)),        # h1
-            pl.BlockSpec((C, D_p), lambda i: (0, 0)),        # cos, lo half
-            pl.BlockSpec((C, D_p), lambda i: (0, 0)),        # cos, hi half
-            pl.BlockSpec((C, D_p), lambda i: (0, 0)),        # sin, lo half
-            pl.BlockSpec((C, D_p), lambda i: (0, 0)),        # sin, hi half
+            pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, lo half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, hi half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, lo half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, hi half
             pl.BlockSpec((C, TF), lambda i: (0, 0)),         # sign
         ],
         out_specs=[
@@ -153,13 +223,15 @@ def pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int,
             pl.BlockSpec((C, TF), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, n_tiles * TF), jnp.float32),
-            jax.ShapeDtypeStruct((C, n_tiles * TF), jnp.float32),
+            jax.ShapeDtypeStruct((C, grid_tiles * TF), jnp.float32),
+            jax.ShapeDtypeStruct((C, grid_tiles * TF), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, D_p, W), jnp.float32),         # window slots
+            pltpu.VMEM((2, 2, W, LD), jnp.float32),          # window slots
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, h0, h1, cm0, cm1, sm0, sm1, sign)
+    )(xv, h0, h1, cm0, cm1, sm0, sm1, sign)
+    if n is None:
+        return yr, yi
     return yr[:, :n], yi[:, :n]

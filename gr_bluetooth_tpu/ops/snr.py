@@ -148,26 +148,44 @@ def make_stream_snr_consts(bank) -> StreamSnrConsts:
 @partial(jax.jit, static_argnames=("slot_ch", "kappa"))
 def _stream_snr_impl(yr, yi, taps_re, taps_im, *, slot_ch: int, kappa: float):
     """(C+1, n) channel streams (last row = probe row above the top
-    channel) -> (S, C) per-slot SNR in dB."""
+    channel) -> (S, C) per-slot SNR in dB.
+
+    The strided probe conv is expressed as A shifted (C, m40, 40) @
+    (40, A) matmuls plus a diagonal sum — XLA's strided
+    conv_general_dilated lowering cost ~0.4 ms/block on v5e where the
+    matmul form is MXU noise (round-4 profile).  Taps are zero-padded to
+    a multiple of the 40-sample stride; the up-to-(A-1) tail windows this
+    drops fall beyond the last slot's per_slot mean, so slot outputs are
+    unchanged except that severely short tails (small S) edge-pad one
+    slot earlier."""
     Cp, n = yr.shape
     C = Cp - 1
     S = n // slot_ch
     m = S * slot_ch
     on = (yr[:C, :m] ** 2 + yi[:C, :m] ** 2).reshape(C, S, slot_ch).mean(-1)
 
-    # probe: shared band-pass on rows 1..C (neighbor of each channel),
-    # channels as conv batch, strided output for the per-slot mean
-    x = jnp.stack([yr[1:, :m], yi[1:, :m]], axis=1)        # (C, 2, m)
-    k = jnp.stack(
-        [jnp.stack([taps_re, -taps_im]),                   # probe real part
-         jnp.stack([taps_im, taps_re])])                   # probe imag part
-    p = jax.lax.conv_general_dilated(
-        x, k, window_strides=(PROBE_STRIDE,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)                # (C, 2, np)
-    pe = p[:, 0] ** 2 + p[:, 1] ** 2                       # (C, np)
+    # probe: shared band-pass on rows 1..C (neighbor of each channel)
+    T = taps_re.shape[0]
+    A = -(-T // PROBE_STRIDE)
+    Tp = A * PROBE_STRIDE
+    tr = jnp.pad(taps_re, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
+    ti = jnp.pad(taps_im, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
+    m40 = m // PROBE_STRIDE
+    np_ = (m - Tp) // PROBE_STRIDE + 1
+    yv_r = yr[1:, : m40 * PROBE_STRIDE].reshape(C, m40, PROBE_STRIDE)
+    yv_i = yi[1:, : m40 * PROBE_STRIDE].reshape(C, m40, PROBE_STRIDE)
+
+    def dsum(M):                                           # (C, m40, A)
+        acc = M[:, 0:np_, 0]
+        for a in range(1, A):
+            acc = acc + M[:, a: a + np_, a]
+        return acc                                         # (C, np_)
+
+    p_re = dsum(yv_r @ tr) - dsum(yv_i @ ti)
+    p_im = dsum(yv_r @ ti) + dsum(yv_i @ tr)
+    pe = p_re ** 2 + p_im ** 2                             # (C, np_)
     per_slot = slot_ch // PROBE_STRIDE
-    Sp = min(S, pe.shape[1] // per_slot)
+    Sp = min(S, np_ // per_slot)
     off = pe[:, : Sp * per_slot].reshape(C, Sp, per_slot).mean(-1)
     off = jnp.pad(off, ((0, 0), (0, S - Sp)), mode="edge") * kappa
 
