@@ -68,9 +68,11 @@ def make_stream_runner(fe, n_distinct: int):
     returns a checksum so nothing is dead-code-eliminated.
 
     Blocks are pre-staged on the leading axis of `x` ((K, 2, F, 128) via
-    fe.stage_block): leading-axis dynamic indexing is a contiguous copy,
-    where lane-axis dynamic_slice into one long stream measured an extra
-    ~0.6 ms/block of relayout that a production ingest never pays."""
+    fe.stage_block).  The leading-axis dynamic index copies the staged
+    block (~0.14 ms at full band) — kept deliberately: it makes every
+    loop iteration depend on i (a loop-invariant body gets hoisted by
+    XLA and measures nothing), and production ingest writes each staged
+    block fresh anyway, so a per-block buffer build is honest."""
     import jax
     import jax.numpy as jnp
 
@@ -201,7 +203,7 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
     f32 = 4
     mb = [
         ("x_staged", 2 * n_x * 128 * f32),            # read once (padded)
-        ("y", (1 + 3) * 2 * (C + 1) * n * f32),       # W once, R 3x
+        ("y", (1 + 1) * 2 * (C + 1) * n * f32),       # W once, R once (K2)
         ("words_planes", 2 * 10 * C * W * 4),
     ]
     hbm_bytes = sum(v for _, v in mb)
@@ -230,11 +232,69 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
         "modeled_ms": round(modeled * 1e3, 3),
         "actual_ms": round(dt_block * 1e3, 3),
         "achieved_fraction": round(modeled / dt_block, 3),
-        "note": "speed-of-light for the round-4 kernelized pipeline "
-                "(staged input read once, y stream W+3R, planes); "
-                "residue: y re-reads (SNR/demod not fused into one "
-                "pass) + the runner's block-index copy",
+        "achieved_fraction_vs_r3_model": round(0.456e-3 / dt_block, 3),
+        "note": "speed-of-light at the CURRENT kernel boundaries (staged "
+                "input read once; y written by the PFB+SNR kernel, read "
+                "once by the demod kernel; packed planes) — the model "
+                "tightens as fusion improves, so the r3-model fraction "
+                "(0.456 ms basis) is also reported for comparability",
     }
+
+
+def bench_sniffer_hostile():
+    """Worst-case host-decode load (VERDICT r3 #2): every slot occupied
+    back-to-back with mixed 1/3/5-slot DM/DH types from THREE piconets,
+    LE detection enabled, full 79-channel band.  Measures the host half
+    alone in steady state (all piconets known) and in discovery
+    (64-candidate clock attack per packet), plus batched-vs-scalar."""
+    import logging
+
+    from gr_bluetooth_tpu.models.sniffer import Sniffer
+    from gr_bluetooth_tpu.testing import PiconetSim, make_hostile_capture
+
+    n_slots = 256
+    sims = [PiconetSim(lap=LAP, uap=UAP, clk0=0x12780),
+            PiconetSim(lap=0x1A2B3C, uap=0x99, clk0=0x00450),
+            PiconetSim(lap=0x654321, uap=0x13, clk0=0x71111)]
+    samples, sent = make_hostile_capture(sims, n_slots, FS, CENTER, seed=13)
+    x = np.stack([samples.real, samples.imag]).astype(np.float32)
+
+    logging.disable(logging.INFO)
+    try:
+        out = {"planted_pkts": len(sent)}
+        sn = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+        blocks = list(sn.fe.stream(x))
+        n_hits = sum(len(r.hits) for r in blocks)
+        reps = 10
+        for name, batch in (("scalar", False), ("batched", True)):
+            s2 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS,
+                         batch_decode=batch)
+            s2.run_blocks(iter(blocks))        # discovery warm-up
+            n_dec = len(s2.decoded)
+            t0 = time.time()
+            for _ in range(reps):
+                s2.run_blocks(iter(blocks))    # steady state
+            us = (time.time() - t0) / reps / max(n_hits, 1) * 1e6
+            out[f"host_us_per_pkt_{name}"] = round(us, 1)
+            out[f"host_x_realtime_at_1600pps_{name}"] = round(
+                1.0 / (1600 * us * 1e-6), 2)
+            out[f"decoded_{name}"] = n_dec
+        # discovery mode: fresh piconet state every pass
+        s3 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+        t0 = time.time()
+        for _ in range(3):
+            s3.basic_rate_piconets.clear()
+            s3.low_energy_piconets.clear()
+            s3.run_blocks(iter(blocks))
+        us = (time.time() - t0) / 3 / max(n_hits, 1) * 1e6
+        out["host_us_per_pkt_discovery"] = round(us, 1)
+        out["hits"] = n_hits
+        out["note"] = ("every slot occupied, mixed DM1/DH1/DM3/DM5/DH3/"
+                       "DH5, 3 piconets, LE on; x_realtime at a "
+                       "worst-case fully-busy 1600 pkt/s air load")
+        return out
+    finally:
+        logging.disable(logging.NOTSET)
 
 
 def bench_sniffer_e2e():
@@ -388,6 +448,8 @@ def main():
     roof = roofline(fe, dt_block, kind)
     print("# bench: sniffer e2e (fresh sniffer-config compiles on first run)", file=sys.stderr)
     e2e = bench_sniffer_e2e()
+    print("# bench: hostile sniffer load", file=sys.stderr)
+    hostile = bench_sniffer_hostile()
 
     value = samples_per_s if parity else 0.0
     print(json.dumps({
@@ -406,6 +468,7 @@ def main():
                        "(int8) vs raw_link_gbps measured on this rig",
         "roofline": roof,
         "sniffer": e2e,
+        "sniffer_hostile": hostile,
     }))
 
 

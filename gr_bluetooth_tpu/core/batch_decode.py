@@ -1,0 +1,199 @@
+"""Batched steady-state classic packet decode.
+
+The reference decodes inline, one packet at a time
+(lib/multi_sniffer_impl.cc:82-166); our per-packet numpy port of that
+costs ~300 us/packet in small-array overhead — the host-side bound of a
+busy air capture.  For hits whose piconet is already known (clock + UAP
+— the steady state), every stage is data-parallel across a block's hits:
+
+    unfec13 header  -> per-row whitening words -> HEC/UAP verify
+    -> payload header (FEC2/3 or direct, grouped by header size)
+    -> payload FEC2/3 per 15-bit block, ragged lengths via masks
+    -> per-byte CRC-16 prefix states, gathered at each row's length
+
+Only the common ACL types run batched — NULL/POLL (0, 1), DM1/3/5 + DV
+(3, 10, 14, 8), DH1/3/5 + AUX1 (4, 11, 15, 9); FHS and the
+voice/extended-voice types (2, 5, 6, 7, 12, 13) defer to the per-packet
+path (`None` rows), as do header-verify failures' piconet state effects.
+Decisions and outputs are bit-identical to ClassicPacket.decode() at the
+same (clock, uap): tests/test_batch_decode.py checks every type and
+failure mode against the scalar path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.bits import air_to_host
+from . import crc, fec, whitening
+
+__all__ = ["decode_known_rows"]
+
+_HDR_SKIP = 18
+
+# packet types the batch handles, with (header_bytes, max_length, use_fec,
+# voice_skip); others defer to ClassicPacket
+_BATCH_TYPES = {
+    0: None, 1: None,
+    3: (1, 20, True, 0), 8: (1, 12, True, 80),
+    10: (2, 125, True, 0), 14: (2, 228, True, 0),
+    4: (1, 30, False, 0), 9: (1, 30, False, 0),
+    11: (2, 187, False, 0), 15: (2, 343, False, 0),
+}
+_NO_CRC_TYPES = (9,)                   # AUX1 carries no CRC
+
+
+def decode_known_rows(bits: np.ndarray, sizes: np.ndarray,
+                      clocks: np.ndarray, uaps: np.ndarray) -> list:
+    """Decode K symbol windows at known clocks/UAPs in batch.
+
+    bits: (K, L) uint8 air symbols from the access-code start (rows may
+    carry junk beyond sizes[k]); sizes: (K,) valid symbols per row;
+    clocks: (K,) CLK1-6(+) values; uaps: (K,).
+
+    Returns a K-list: None where the row must take the per-packet path
+    (exotic type), else a dict with ClassicPacket.decode()'s effects:
+    ok, packet_type, packet_header, payload (None on failure),
+    payload_length, payload_header_length, payload_llid, payload_flow.
+    """
+    K, L = bits.shape
+    sizes = np.asarray(sizes, dtype=np.int64)
+    clocks = np.asarray(clocks, dtype=np.int64)
+    uaps = np.asarray(uaps, dtype=np.int64)
+    out: list = [None] * K
+
+    usable = sizes >= 126
+    hdr_raw, fec_ok = fec.unfec13(bits[:, 72:126])             # (K, 18)
+    unw = hdr_raw ^ whitening.whitening_word(clocks, 18, 0)
+    hdr_data = air_to_host(unw[:, :10])
+    hec = air_to_host(unw[:, 10:18])
+    hdr_ok = usable & fec_ok & (crc.uap_from_hec(hdr_data, hec) == uaps)
+    ptypes = air_to_host(unw[:, 3:7])
+
+    for k in range(K):
+        t = int(ptypes[k])
+        if not hdr_ok[k]:
+            # header verify failed: decode() == False with no payload;
+            # report it so the caller can run its clock-lost path
+            out[k] = dict(ok=False, header_failed=True)
+        elif t not in _BATCH_TYPES:
+            out[k] = None                                      # defer
+        else:
+            out[k] = dict(ok=False, header_failed=False,
+                          packet_type=t, packet_header=unw[k],
+                          payload=None, payload_length=0,
+                          payload_header_length=0, payload_llid=0,
+                          payload_flow=0)
+
+    rows = np.array([k for k in range(K)
+                     if out[k] is not None and not out[k]["header_failed"]],
+                    dtype=np.int64)
+    if not rows.size:
+        return out
+
+    rt = ptypes[rows]
+    # NULL / POLL: empty payload, decode succeeds
+    for k in rows[np.isin(rt, (0, 1))]:
+        out[k]["ok"] = True
+        out[k]["payload"] = np.zeros(0, dtype=np.uint8)
+
+    acl = rows[np.isin(rt, (3, 8, 10, 14, 4, 9, 11, 15))]
+    if acl.size:
+        _decode_acl_all(bits, sizes, clocks, uaps, ptypes, acl, out)
+    return out
+
+
+# per-type parameter tables indexed by packet type (ACL types only)
+_T_HB2 = np.zeros(16, bool)
+_T_FEC = np.zeros(16, bool)
+_T_VOICE = np.zeros(16, np.int64)
+_T_MAX = np.zeros(16, np.int64)
+for _t, _v in _BATCH_TYPES.items():
+    if _v is not None:
+        _T_HB2[_t] = _v[0] == 2
+        _T_MAX[_t] = _v[1]
+        _T_FEC[_t] = _v[2]
+        _T_VOICE[_t] = _v[3]
+
+
+def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
+    """All ACL rows (DM1/3/5, DV, DH1/3/5, AUX1) in ONE batched pass:
+    per-row type parameters come from lookup tables, the FEC and direct
+    payload-header variants are both computed and selected per row, and
+    ragged payload lengths ride masks — one fixed numpy cost per block
+    instead of four per-(header size, FEC) group calls."""
+    Kg = g.size
+    t = ptypes[g]
+    hb2 = _T_HB2[t]
+    use_fec = _T_FEC[t]
+    voice = _T_VOICE[t]
+    maxlen = _T_MAX[t]
+    off = 126 + voice
+    size = sizes[g] - off
+
+    # payload header: both variants on a 30-bit window, selected per row
+    span30 = np.arange(30)
+    hs = bits[g[:, None], off[:, None] + span30[None, :]]
+    dblk, okb = fec.fec23_decode_blocks(hs.reshape(Kg, 2, 15))
+    fec16 = dblk.reshape(Kg, 20)[:, :16]
+    hdr_fec_ok = okb[:, 0] & (okb[:, 1] | ~hb2)
+    hdr16 = np.where(use_fec[:, None], fec16, hs[:, :16])
+    hdr16u = hdr16 ^ whitening.whitening_word(clocks[g], 16, _HDR_SKIP)
+    length = np.where(hb2, air_to_host(hdr16u[:, 3:13]) + 4,
+                      air_to_host(hdr16u[:, 3:8]) + 3)
+    llid = air_to_host(hdr16u[:, 0:2])
+    flow = hdr16u[:, 2].astype(np.int64)
+    need_hdr = np.where(use_fec, np.where(hb2, 30, 15),
+                        np.where(hb2, 16, 8))
+    hdr_parse_ok = (size >= need_hdr) & (hdr_fec_ok | ~use_fec)
+    in_range = hdr_parse_ok & (length <= maxlen) & (length * 8 <= size)
+
+    # payload bits: FEC blocks + direct stream, ragged lengths via masks
+    Lbits = np.where(in_range, length * 8, 0)
+    need_blocks = (Lbits + 9) // 10
+    nb_max = max(int(need_blocks.max(initial=0)), 1)
+    nb_max = min(nb_max, int((bits.shape[1] - off.max()) // 15))
+    span = np.arange(nb_max * 15)
+    cw = bits[g[:, None], off[:, None] + span[None, :]]
+    data, okb2 = fec.fec23_decode_blocks(cw.reshape(Kg, nb_max, 15))
+    blk = np.arange(nb_max)[None, :]
+    fec_all_ok = (okb2 | (blk >= need_blocks[:, None]) |
+                  ~use_fec[:, None]).all(axis=1)
+    W = max(nb_max * 10, min(int(Lbits.max(initial=16)),
+                             int(bits.shape[1] - off.max())), 16)
+    fec_flat = data.reshape(Kg, nb_max * 10)
+    if fec_flat.shape[1] < W:
+        fec_flat = np.pad(fec_flat, ((0, 0), (0, W - fec_flat.shape[1])))
+    direct = cw[:, :W] if W <= cw.shape[1] else \
+        bits[g[:, None], off[:, None] + np.arange(W)[None, :]]
+    raw = np.where(use_fec[:, None], fec_flat[:, :W], direct)
+    unw = raw ^ whitening.whitening_word(clocks[g], W, _HDR_SKIP)
+    nbytes_max = W // 8
+    data_bits = np.clip((length - 2) * 8, 0, nbytes_max * 8)
+    crcs = crc.crc16_ragged(unw[:, : nbytes_max * 8], data_bits, uaps[g])
+    w16 = (1 << np.arange(16, dtype=np.int64))
+
+    length_l = length.tolist()
+    for i in range(Kg):
+        k = g[i]
+        o = out[k]
+        o["payload_header_length"] = 0
+        if not hdr_parse_ok[i]:
+            o["ok"] = False
+            continue
+        o["payload_header_length"] = 2 if hb2[i] else 1
+        o["payload_length"] = int(length_l[i])
+        o["payload_llid"] = int(llid[i])
+        o["payload_flow"] = int(flow[i])
+        if not in_range[i] or not fec_all_ok[i]:
+            o["ok"] = False
+            continue
+        ln = length_l[i]
+        bl = ln * 8
+        o["payload"] = unw[i, :bl].astype(np.uint8)
+        o["ok"] = True
+        if int(t[i]) not in _NO_CRC_TYPES and 2 <= ln <= nbytes_max:
+            check = int((unw[i, (ln - 2) * 8: ln * 8].astype(np.int64)
+                         * w16).sum())
+            o["crc_ok"] = int(crcs[i]) == check
+        else:
+            o["crc_ok"] = None

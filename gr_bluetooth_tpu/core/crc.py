@@ -87,6 +87,30 @@ def crc16(air_bits: np.ndarray, uap) -> np.ndarray:
     return (data ^ seed).astype(np.uint16)
 
 
+def crc16_ragged(air_bits: np.ndarray, lengths, uap) -> np.ndarray:
+    """crc16 over per-row prefixes of different lengths, in one pass.
+
+    air_bits: (K, Lmax); lengths: (K,) bits consumed per row; uap: (K,).
+    A bit's influence on the final register depends only on its distance
+    to the END of the stream, so aligning each row's bits at the end
+    (one take_along_axis) turns the ragged batch into a single
+    XOR-reduce — the serial crc16_states chain cost ~0.6 ms per batched
+    ACL group where this is ~10 us."""
+    air_bits = np.asarray(air_bits, dtype=np.uint16) & 1
+    K, Lmax = air_bits.shape
+    lengths = np.asarray(lengths, dtype=np.int64)
+    _grow_tables(Lmax)
+    m = np.arange(Lmax, dtype=np.int64)
+    idx = lengths[:, None] - 1 - m[None, :]
+    rev = np.take_along_axis(air_bits, np.clip(idx, 0, Lmax - 1), axis=1)
+    rev = rev & (idx >= 0)
+    data = np.bitwise_xor.reduce(rev * _G[:Lmax], axis=-1)
+    uapr = reverse8(np.asarray(uap)).astype(np.uint16)
+    ub = (uapr[..., None] >> np.arange(8, dtype=np.uint16)) & 1
+    seed = np.bitwise_xor.reduce(ub * _H[lengths], axis=-1)
+    return (data ^ seed).astype(np.uint16)
+
+
 def crc16_states(air_bits: np.ndarray, uap) -> np.ndarray:
     """CRC register value after every byte (8 bits) of the stream.
 

@@ -65,12 +65,15 @@ class ClassicPacket:
 
     def __post_init__(self):
         self.symbols = np.asarray(self.symbols, dtype=np.uint8)
+        self._lap: int | None = None
 
     # ------------------------------------------------------------ basics
 
     @property
     def lap(self) -> int:
-        return int(air_to_host(self.symbols[38:62]))
+        if self._lap is None:
+            self._lap = int(air_to_host(self.symbols[38:62]))
+        return self._lap
 
     def header_present(self) -> bool:
         """Trailer + triple-agreement test (lib/packet_impl.cc:1205-1242)."""

@@ -31,7 +31,8 @@ import numpy as np
 from ..constants import (DEFAULT_SNR_DB, SYMBOLS_AC_SHORT, SYMBOLS_FOR_HISTORY,
                          SYMBOLS_LE_PREAMBLE_AA, SYMBOLS_PER_SLOT)
 from ..core.le_tables import freq2index
-from ..ops import channelizer, demod, detect, detect_pallas, pfb, snr
+from ..ops import (channelizer, demod, detect, detect_pallas, pfb,
+                   pfb_kernel, snr)
 from ..utils.log import get_logger
 
 __all__ = ["FrontEnd", "Hit", "LeHit", "BlockResult"]
@@ -164,12 +165,16 @@ class FrontEnd:
                           le_max_dist=jnp.asarray(max_dist))
         if isinstance(b, pfb.PfbBank):
             sc = self.snr_consts
+            pmr, pmi = pfb_kernel.probe_phase_matrices(sc.taps_re,
+                                                       sc.taps_im)
             consts.update(h0=jnp.asarray(b.h0), h1=jnp.asarray(b.h1),
                           dft_c=jnp.asarray(b.dft_c),
                           dft_s=jnp.asarray(b.dft_s),
                           bin_odd=jnp.asarray(b.bin_odd),
                           probe_re=jnp.asarray(sc.taps_re),
-                          probe_im=jnp.asarray(sc.taps_im))
+                          probe_im=jnp.asarray(sc.taps_im),
+                          probe_mr=jnp.asarray(pmr),
+                          probe_mi=jnp.asarray(pmi))
             snr_static = dict(slot_ch=sc.slot_ch, kappa=sc.kappa,
                               slot_len=None)
         else:
@@ -338,6 +343,26 @@ class FrontEnd:
         n = min(WIN_SYMBOLS, self.n_sym - hit.sym_offset)
         return self._unpack_window(res.windows[hit.win_row],
                                    hit.sym_offset, n)
+
+    def packet_symbols_matrix(self, res: BlockResult):
+        """All classic hits' symbol windows at once: (K, WIN_SYMBOLS)
+        uint8 plus per-row valid symbol counts — one unpackbits over the
+        block's window table instead of K per-hit unpacks (feeds
+        core/batch_decode.py's batched steady-state decode)."""
+        K = len(res.hits)
+        if K == 0:
+            return (np.zeros((0, WIN_SYMBOLS), np.uint8),
+                    np.zeros(0, np.int64))
+        rows = np.array([h.win_row for h in res.hits])
+        w = np.ascontiguousarray(res.windows[rows])    # hits' rows only
+        allbits = np.unpackbits(w.view(np.uint8).reshape(K, -1),
+                                axis=1, bitorder="little")
+        offs = np.array([h.sym_offset % 32 for h in res.hits])
+        idx = offs[:, None] + np.arange(WIN_SYMBOLS)[None, :]
+        sym = np.take_along_axis(allbits, idx, axis=1)
+        sizes = np.array([min(WIN_SYMBOLS, self.n_sym - h.sym_offset)
+                          for h in res.hits], dtype=np.int64)
+        return sym, sizes
 
     def le_packet_symbols(self, res: BlockResult, hit: LeHit) -> np.ndarray:
         n = min(LE_WIN_SYMBOLS, self.n_sym - hit.sym_offset)
@@ -572,7 +597,7 @@ def _squelch_gate(snr_db, n, delay_sym, squelch):
     "max_hits", "max_le_hits", "with_le", "use_pallas"))
 def _device_step(x_ri, *, A68, C68v,
                  h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
-                 probe_re=None, probe_im=None,
+                 probe_re=None, probe_im=None, probe_mr=None, probe_mi=None,
                  kernel=None, rot_q=None, on_w=None, off_w=None,
                  word_s0=None, word_mask_a=None,
                  le_rows=None, le_white=None, le_aa_on=None, le_max_dist=None,
@@ -582,16 +607,25 @@ def _device_step(x_ri, *, A68, C68v,
     staged = x_ri.ndim == 3
     if is_pfb:
         # streams carry one extra probe row above the top channel
-        yr_f, yi_f = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s, bin_odd,
-                                   decim)
         if staged:
-            # staged input: drop the junk tail -> identical to flat form
-            yr, yi = yr_f[:, :n_y], yi_f[:, :n_y]
+            # fused channelize + SNR partials: the y stream is written
+            # once and never re-read for the squelch
+            yr_f, yi_f, oe, pe = pfb._pfb_snr_impl(
+                x_ri, h0, h1, dft_c, dft_s, bin_odd, probe_mr, probe_mi,
+                probe_re, probe_im, decim, slot_ch)
+            S = n_y // slot_ch
+            snr_db = snr.assemble_fused_snr(
+                oe, pe, S=S, slot_ch=slot_ch, kappa=kappa,
+                C=dft_c.shape[1] - 1, taps_len=probe_re.shape[0])
+            # junk tail dropped -> identical to the flat form
+            yr, yi = yr_f[:-1, :n_y], yi_f[:-1, :n_y]
         else:
+            yr_f, yi_f = pfb._pfb_impl(x_ri, h0, h1, dft_c, dft_s,
+                                       bin_odd, decim)
             yr, yi = yr_f, yi_f
-        snr_db, _, _ = snr._stream_snr_impl(yr, yi, probe_re, probe_im,
-                                            slot_ch=slot_ch, kappa=kappa)
-        yr, yi = yr[:-1], yi[:-1]
+            snr_db, _, _ = snr._stream_snr_impl(yr, yi, probe_re, probe_im,
+                                                slot_ch=slot_ch, kappa=kappa)
+            yr, yi = yr[:-1], yi[:-1]
     else:
         yr, yi = channelizer._channelize_impl(x_ri[None], kernel, rot_q, 0,
                                               decim=decim, sps=sps)
@@ -666,7 +700,8 @@ def _device_step(x_ri, *, A68, C68v,
     "overlap"))
 def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
                     h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
-                    probe_re=None, probe_im=None,
+                    probe_re=None, probe_im=None, probe_mr=None,
+                    probe_mi=None,
                     kernel=None, rot_q=None, on_w=None, off_w=None,
                     word_s0=None, word_mask_a=None,
                     le_rows=None, le_white=None, le_aa_on=None,
@@ -692,6 +727,7 @@ def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
     outs = _device_step(
         xb, A68=A68, C68v=C68v, h0=h0, h1=h1, dft_c=dft_c, dft_s=dft_s,
         bin_odd=bin_odd, probe_re=probe_re, probe_im=probe_im,
+        probe_mr=probe_mr, probe_mi=probe_mi,
         kernel=kernel, rot_q=rot_q, on_w=on_w, off_w=off_w,
         word_s0=word_s0, word_mask_a=word_mask_a, le_rows=le_rows,
         le_white=le_white, le_aa_on=le_aa_on, le_max_dist=le_max_dist,

@@ -15,11 +15,13 @@ advertising PDUs incl. CONNECT_REQ LLData).
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..constants import DEFAULT_SNR_DB, GIAC, LIAC
+from ..core import batch_decode
 from ..core.packets import ClassicPacket, LePacket
 from ..utils.log import EventBus, bus as default_bus, get_logger
 from .frontend import FrontEnd
@@ -30,16 +32,35 @@ __all__ = ["Sniffer"]
 log = get_logger("sniffer")
 
 
+def _apply_batch_row(pkt: ClassicPacket, row: dict) -> bool:
+    """Replay a core/batch_decode row onto a ClassicPacket — the same
+    effects as pkt.decode() at the (clock, uap) the batch used."""
+    if row.get("header_failed"):
+        pkt.have_payload = False
+        return False
+    pkt.packet_type = row["packet_type"]
+    pkt.packet_header = row["packet_header"]
+    pkt.payload = row["payload"]
+    pkt.payload_length = row["payload_length"]
+    pkt.payload_header_length = row["payload_header_length"]
+    pkt.payload_llid = row["payload_llid"]
+    pkt.payload_flow = row["payload_flow"]
+    pkt.have_payload = True
+    return row["payload"] is not None
+
+
 class Sniffer:
     def __init__(self, sample_rate: float, center_freq: float,
                  squelch_threshold: float = DEFAULT_SNR_DB,
                  writer=None, bus: EventBus | None = None,
-                 enable_le: bool = True, **fe_kwargs):
+                 enable_le: bool = True, batch_decode: bool = True,
+                 **fe_kwargs):
         self.fe = FrontEnd(sample_rate, center_freq, squelch_threshold,
                            max_ac_errors=6, enable_le=enable_le, **fe_kwargs)
         self.writer = writer
         self.bus = bus or default_bus
         self.enable_le = enable_le
+        self.batch_decode = batch_decode
         self.basic_rate_piconets: dict[int, BasicRatePiconet] = {}
         self.low_energy_piconets: dict[int, LowEnergyPiconet] = {}
         self._adv_chsel: dict[str, int] = {}      # AdvA -> ChSel bit seen
@@ -48,21 +69,68 @@ class Sniffer:
 
     # ------------------------------------------------------------ classic
 
-    def _handle_ac(self, res, hit):
-        pkt = ClassicPacket(symbols=self.fe.packet_symbols(res, hit),
-                            clkn=hit.clkn, channel=hit.channel,
-                            snr=hit.snr_db)
+    def _precompute_block(self, res):
+        """Batch the block's data-parallel host work up front: one
+        unpackbits for all hit windows, vectorized header_present, and
+        core/batch_decode for hits whose piconet is in steady state
+        (clock + UAP known at block start).  _decode validates that the
+        state it used still holds before consuming a row (discovery,
+        FHS offsets, or clock loss earlier in the same block change it —
+        then the per-packet path runs, exactly as without batching)."""
+        sym, sizes = self.fe.packet_symbols_matrix(res)
+        K = sym.shape[0]
+        if K == 0:
+            return sym, sizes, np.zeros(0, bool), {}
+        s = sym
+        msb = s[:, 67].astype(np.int64)
+        be = ((s[:, 68] ^ (1 - msb)) + (s[:, 69] ^ msb) +
+              (s[:, 70] ^ (1 - msb)) + (s[:, 71] ^ msb))
+        t = s[:, 72:126].reshape(K, 18, 3).astype(np.int64)
+        a, b, c = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+        be = be + (((a ^ b) | (b ^ c)) | (c ^ a)).sum(axis=1)
+        from ..core.packets import ID_THRESHOLD
+        hp = (sizes >= 126) & (be < ID_THRESHOLD)
+
+        pre = {}
+        if self.batch_decode:
+            rows, clocks, uaps = [], [], []
+            for j, h in enumerate(res.hits):
+                if not hp[j]:
+                    continue
+                pn = self.basic_rate_piconets.get(h.lap)
+                if pn is not None and pn.have_clk6 and pn.have_uap:
+                    clock = (h.clkn + pn.get_offset()) & \
+                        (0x7FFFFFF if pn.have_clk27 else 0x3F)
+                    rows.append(j)
+                    clocks.append(clock)
+                    uaps.append(pn.uap)
+            if rows:
+                rows = np.asarray(rows)
+                results = batch_decode.decode_known_rows(
+                    sym[rows], sizes[rows], np.asarray(clocks),
+                    np.asarray(uaps))
+                for i, j in enumerate(rows):
+                    if results[i] is not None:
+                        pre[int(j)] = (results[i], int(clocks[i]),
+                                       int(uaps[i]))
+        return sym, sizes, hp, pre
+
+    def _handle_ac(self, res, hit, sym=None, size=None, hp=None, pre=None):
+        symbols = sym[: size] if sym is not None else \
+            self.fe.packet_symbols(res, hit)
+        pkt = ClassicPacket(symbols=symbols, clkn=hit.clkn,
+                            channel=hit.channel, snr=hit.snr_db)
         lap = pkt.lap
         self.bus.emit("ac_seen", clkn=hit.clkn, channel=hit.channel,
                       lap=lap, snr_db=hit.snr_db)
-        if not pkt.header_present():
+        if not (pkt.header_present() if hp is None else bool(hp)):
             self._id(lap)
             return
         pn = self.basic_rate_piconets.get(lap)
         if pn is None:
             pn = self.basic_rate_piconets[lap] = BasicRatePiconet(lap=lap)
         if pn.have_clk6 and pn.have_uap:
-            self._decode(pkt, pn, first_run=True)
+            self._decode(pkt, pn, first_run=True, pre=pre)
         else:
             self._discover(pkt, pn)
         if lap in (GIAC, LIAC):
@@ -76,19 +144,24 @@ class Sniffer:
             self.writer.write_id(lap)
 
     def _decode(self, pkt: ClassicPacket, pn: BasicRatePiconet,
-                first_run: bool):
+                first_run: bool, pre=None):
         clock = pkt.clkn + pn.get_offset()
         pkt.set_clock(clock, pn.have_clk27)
         pkt.set_uap(pn.uap)
-        ok = pkt.decode()
+        if pre is not None and pre[1] == pkt.clock and pre[2] == pn.uap:
+            ok = _apply_batch_row(pkt, pre[0])
+        else:
+            ok = pkt.decode()
         if ok:
             self.decoded.append(pkt)
             self.bus.emit("packet_decoded", lap=pkt.lap, uap=pkt.uap,
                           clkn=pkt.clkn, channel=pkt.channel,
                           type=pkt.packet_type, type_name=pkt.type_name(),
                           payload_length=pkt.payload_length)
-            log.info("time %6d ch %2d LAP %06x %s", pkt.clkn, pkt.channel,
-                     pkt.lap, pkt.summary().replace("\n", " | "))
+            if log.isEnabledFor(logging.INFO):
+                log.info("time %6d ch %2d LAP %06x %s", pkt.clkn,
+                         pkt.channel, pkt.lap,
+                         pkt.summary().replace("\n", " | "))
             if self.writer is not None:
                 if pn.have_nap:
                     pkt.nap = pn.nap
@@ -205,8 +278,10 @@ class Sniffer:
 
     def run_blocks(self, results):
         for res in results:
-            for h in res.hits:
-                self._handle_ac(res, h)
+            sym, sizes, hp, pre = self._precompute_block(res)
+            for j, h in enumerate(res.hits):
+                self._handle_ac(res, h, sym=sym[j], size=int(sizes[j]),
+                                hp=hp[j], pre=pre.get(j))
             if self.enable_le:
                 self._handle_le(res)
             self.cursor = res.slot_base + res.n_slots

@@ -232,3 +232,51 @@ def pfb_channelize(x, bank: PfbBank):
                      jnp.asarray(bank.h1), jnp.asarray(bank.dft_c),
                      jnp.asarray(bank.dft_s), jnp.asarray(bank.bin_odd),
                      bank.decim)
+
+
+@partial(jax.jit, static_argnames=("D", "slot_ch"))
+def _pfb_snr_impl(x3, h0, h1, dft_c, dft_s, bin_odd, probe_mr, probe_mi,
+                  taps_re, taps_im, D: int, slot_ch: int):
+    """Staged-input channelize + fused SNR partials:
+    (2, F, 128) -> (yr, yi, oe, pe) as pfb_channelize_snr_fused.
+
+    TPU: the single fused kernel (y never re-read for SNR).  Other
+    platforms: the XLA channelizer plus jnp partials with identical
+    shapes/semantics (values equal up to fp reduction order)."""
+    from . import pfb_kernel as pk
+    from .snr import PROBE_STRIDE, _probe_grid
+
+    Q = h0.shape[0]
+    C = dft_c.shape[1]
+    TF = pk._TF
+
+    def tpu_path(x3):
+        return pk.pfb_channelize_snr_fused(x3, h0, h1, dft_c, dft_s,
+                                           bin_odd, D, probe_mr, probe_mi,
+                                           slot_ch)
+
+    def xla_path(x3):
+        yr, yi = _pfb_impl(x3, h0, h1, dft_c, dft_s, bin_odd, D)
+        G = yr.shape[1] // TF
+        # on-energy piece sums: tile t spans slots s0, s0+1 at lane b
+        t = np.arange(G)
+        s0 = (TF * t) // slot_ch
+        b = slot_ch * (s0 + 1) - TF * t
+        m0 = jnp.asarray((np.arange(TF)[None, :] < b[:, None])
+                         .astype(np.float32))              # (G, TF)
+        e = (yr ** 2 + yi ** 2).reshape(C, G, TF)
+        oe0 = jnp.einsum("cgl,gl->gc", e, m0)
+        oe1 = jnp.einsum("cgl,gl->gc", e, 1.0 - m0)
+        oe = jnp.stack([oe0, oe1], axis=-1)                # (G, C, 2)
+
+        # probe energies at every grid position, regrouped per tile
+        pall = _probe_grid(yr, yi, taps_re, taps_im)       # (C, npall)
+        npall = pall.shape[1]
+        k0 = -(-TF * t // PROBE_STRIDE)
+        kk = k0[:, None] + np.arange(pk._PC)[None, :]      # (G, _PC)
+        pe = pall[:, jnp.asarray(np.minimum(kk, npall - 1).reshape(-1))]
+        pe = pe.reshape(C, G, pk._PC).transpose(1, 0, 2)   # (G, C, _PC)
+        return yr, yi, oe, pe
+
+    return jax.lax.platform_dependent(x3, tpu=tpu_path, default=xla_path)
+

@@ -46,11 +46,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pfb_channelize_fused", "staged_geometry", "stage_host"]
+__all__ = ["pfb_channelize_fused", "pfb_channelize_snr_fused",
+           "staged_geometry", "stage_host", "probe_phase_matrices"]
 
 _TF = 1024                     # output frames per tile (multiple of 128)
-_LOOKAHEAD = 128               # window = TF + 128 frames (>= TF + 2Q)
+_LOOKAHEAD = 256               # window = TF + 256 frames (>= TFW + 2Q)
 _LD = 128                      # staged branch-lane width (DMA tile width)
+_PC = 32                       # probe partial columns (<= 26 valid/tile)
 
 
 def staged_geometry(n_samples: int, D: int, Q: int):
@@ -81,6 +83,28 @@ def stage_host(x: np.ndarray, D: int, Q: int) -> np.ndarray:
     out = np.zeros((2, F, _LD), dtype=np.float32)
     out[:, :n_x, :D] = x[:, : n_x * D].reshape(2, n_x, D)
     return out
+
+
+def probe_phase_matrices(taps_re, taps_im):
+    """(5, Wy, _PC) tap matrices for the in-kernel SNR probe, Wy = wide
+    per-tile frame count (8-aligned, sized to fit the last window).
+
+    Probe windows sit on the global 40-sample grid; a 1024-frame tile's
+    first window offset cycles with period 5 (1024*5 % 40 == 0), so five
+    matrices cover every tile: PR[phi, l, j] places the band-pass taps at
+    local offset ((-1024*phi) % 40) + 40*j.  Columns j >= 26 (and any
+    off-tile tails) are masked by the XLA-side assembly."""
+    T = len(taps_re)
+    Wy = -(-(36 + 40 * 25 + T) // 8) * 8
+    PR = np.zeros((5, Wy, _PC), np.float32)
+    PI = np.zeros((5, Wy, _PC), np.float32)
+    for phi in range(5):
+        off0 = (-1024 * phi) % 40
+        for j in range(26):
+            l0 = off0 + 40 * j
+            PR[phi, l0: l0 + T, j] = taps_re
+            PI[phi, l0: l0 + T, j] = taps_im
+    return PR, PI
 
 
 def _kernel(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign, yr_out, yi_out,
@@ -235,3 +259,175 @@ def pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int,
     if n is None:
         return yr, yi
     return yr[:, :n], yi[:, :n]
+
+
+def _kernel_snr(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
+                yr_out, yi_out, oe_out, pe_out, xs, sem,
+                *, Q: int, n_data: int, slot_ch: int):
+    """Staged-mode variant that additionally emits the per-slot SNR
+    inputs while y is still in VMEM: per-tile on-energy piece sums
+    (C, 2 — a 1024-frame tile spans at most two slots) and the
+    off-channel probe band-pass energies at the tile's <= 26 on-grid
+    positions (four (C, _TFW) @ (_TFW, _PC) matmuls).  Saves the two
+    full re-reads of the y stream the XLA SNR paid (~0.3 ms/block)."""
+    i = pl.program_id(0)
+    TF = _TF
+    TFW = pr.shape[1]                              # wide per-tile frames
+    W = TF + _LOOKAHEAD
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def window_copy(tile, dst_slot):
+        return pltpu.make_async_copy(
+            xv_hbm.at[:, pl.ds(tile * TF, W), :],
+            xs.at[dst_slot], sem.at[dst_slot])
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(i + 1 < n_data)
+    def _():
+        window_copy(i + 1, nxt).start()
+
+    @pl.when(i >= n_data)
+    def _():
+        yr_out[...] = jnp.zeros_like(yr_out)
+        yi_out[...] = jnp.zeros_like(yi_out)
+        oe_out[...] = jnp.zeros_like(oe_out)
+        pe_out[...] = jnp.zeros_like(pe_out)
+
+    @pl.when(i < n_data)
+    def _():
+        window_copy(i, slot).wait()
+
+        LD = xs.shape[3]
+        h0v, h1v = h0[...], h1[...]                # (Q, LD)
+        v0, v1 = [], []
+        for p in range(2):
+            a0 = jnp.zeros((TFW, LD), jnp.float32)
+            a1 = jnp.zeros((TFW, LD), jnp.float32)
+            for q in range(Q):
+                a0 = a0 + xs[slot, p, pl.ds(2 * q, TFW), :] * \
+                    h0v[q][None, :]
+                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TFW), :] * \
+                    h1v[q][None, :]
+            v0.append(a0)
+            v1.append(a1)
+
+        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
+
+        def dft(m0, m1):
+            return (jax.lax.dot_general(m0, v0[0], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[0], ddn,
+                                          preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(m0, v0[1], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[1], ddn,
+                                          preferred_element_type=jnp.float32))
+
+        cr, ci = dft(cm0[...], cm1[...])           # (C, TFW)
+        sr, si = dft(sm0[...], sm1[...])
+        ywr = (cr + si) * sign_w[...]              # rotated wide streams
+        ywi = (ci - sr) * sign_w[...]
+        yr_out[...] = ywr[:, :TF]
+        yi_out[...] = ywi[:, :TF]
+
+        # on-energy piece sums (rotation drops out of |y|^2, but use the
+        # rotated streams for bitwise agreement with downstream readers)
+        e = ywr[:, :TF] ** 2 + ywi[:, :TF] ** 2
+        s0 = (TF * i) // slot_ch
+        b = slot_ch * (s0 + 1) - TF * i
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TF), 1)
+        m0 = lane < b
+        oe0 = jnp.where(m0, e, 0.0).sum(axis=1, keepdims=True)
+        oe1 = jnp.where(m0, 0.0, e).sum(axis=1, keepdims=True)
+        oe_out[0] = jnp.concatenate([oe0, oe1], axis=1)
+
+        # probe band-pass at the tile's on-grid positions
+        nn = (((1,), (0,)), ((), ()))
+        prm, pim = pr[0], pi[0]                    # (_TFW, _PC), this phase
+        rr = jax.lax.dot_general(ywr, prm, nn,
+                                 preferred_element_type=jnp.float32)
+        ri = jax.lax.dot_general(ywr, pim, nn,
+                                 preferred_element_type=jnp.float32)
+        ir = jax.lax.dot_general(ywi, prm, nn,
+                                 preferred_element_type=jnp.float32)
+        ii = jax.lax.dot_general(ywi, pim, nn,
+                                 preferred_element_type=jnp.float32)
+        p_re = rr - ii
+        p_im = ri + ir
+        pe_out[0] = p_re ** 2 + p_im ** 2
+
+
+@partial(jax.jit, static_argnames=("D", "slot_ch", "interpret"))
+def pfb_channelize_snr_fused(x3, h0, h1, dft_c, dft_s, bin_odd, D: int,
+                             probe_mr, probe_mi, slot_ch: int,
+                             interpret: bool = False):
+    """Staged (2, F, _LD) input -> (yr, yi, oe, pe):
+    yr/yi (C, grid*_TF) channel streams (junk tail, consumer slices),
+    oe (grid, C, 2) per-tile on-energy piece sums,
+    pe (grid, C, _PC) probe energies at the tile's grid positions.
+    snr.assemble_fused_snr turns (oe, pe) into the (S, C) slot SNR."""
+    Q = h0.shape[0]
+    TFW = probe_mr.shape[1]
+    if 2 * Q > _TF + _LOOKAHEAD - TFW:
+        raise ValueError(f"prototype too long for the wide tile: "
+                         f"2Q={2 * Q} > {_TF + _LOOKAHEAD - TFW}")
+    C = dft_c.shape[1]
+    LD = max(_LD, -(-D // 128) * 128)
+    if x3.ndim != 3 or x3.shape[2] != LD:
+        raise ValueError("pfb_channelize_snr_fused requires staged input")
+    n_tiles = (x3.shape[1] - _LOOKAHEAD) // _TF
+    grid_tiles = n_tiles + 1
+
+    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
+    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
+    cm = jnp.asarray(dft_c).T
+    sm = jnp.asarray(dft_s).T
+    cm0 = jnp.pad(cm[:, :D], ((0, 0), (0, LD - D)))
+    cm1 = jnp.pad(cm[:, D:], ((0, 0), (0, LD - D)))
+    sm0 = jnp.pad(sm[:, :D], ((0, 0), (0, LD - D)))
+    sm1 = jnp.pad(sm[:, D:], ((0, 0), (0, LD - D)))
+
+    parity = jnp.asarray((np.arange(TFW) & 1).astype(np.float32))
+    sign_w = 1.0 - 2.0 * (jnp.asarray(bin_odd)[:, None] * parity[None, :])
+
+    W = _TF + _LOOKAHEAD
+    yr, yi, oe, pe = pl.pallas_call(
+        partial(_kernel_snr, Q=Q, n_data=n_tiles, slot_ch=slot_ch),
+        grid=(grid_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, lo half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, hi half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, lo half
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, hi half
+            pl.BlockSpec((C, TFW), lambda i: (0, 0)),        # sign (wide)
+            pl.BlockSpec((1, TFW, _PC),
+                         lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe re
+            pl.BlockSpec((1, TFW, _PC),
+                         lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe im
+        ],
+        out_specs=[
+            pl.BlockSpec((C, _TF), lambda i: (0, i)),
+            pl.BlockSpec((C, _TF), lambda i: (0, i)),
+            pl.BlockSpec((1, C, 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, C, _PC), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, grid_tiles * _TF), jnp.float32),
+            jax.ShapeDtypeStruct((C, grid_tiles * _TF), jnp.float32),
+            jax.ShapeDtypeStruct((grid_tiles, C, 2), jnp.float32),
+            jax.ShapeDtypeStruct((grid_tiles, C, _PC), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, W, LD), jnp.float32),          # window slots
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x3, h0, h1, cm0, cm1, sm0, sm1, sign_w, probe_mr, probe_mi)
+    return yr, yi, oe, pe

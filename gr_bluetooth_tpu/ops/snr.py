@@ -145,6 +145,36 @@ def make_stream_snr_consts(bank) -> StreamSnrConsts:
     return StreamSnrConsts(slot_ch, taps_re, taps_im, kappa)
 
 
+def _probe_grid(yr, yi, taps_re, taps_im):
+    """Probe band-pass energy at every PROBE_STRIDE-grid position of the
+    given complex streams (all rows kept): (R, n) -> (R, np_) with
+    np_ = (n - Tp)//stride + 1, taps zero-padded to Tp = stride-multiple.
+
+    A shifted (R, n/40, 40) @ (40, A) matmuls + a diagonal sum — XLA's
+    strided conv_general_dilated lowering cost ~0.4 ms/block on v5e
+    where this matmul form is MXU noise (round-4 profile)."""
+    R, n = yr.shape
+    T = taps_re.shape[0]
+    A = -(-T // PROBE_STRIDE)
+    Tp = A * PROBE_STRIDE
+    tr = jnp.pad(taps_re, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
+    ti = jnp.pad(taps_im, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
+    m40 = n // PROBE_STRIDE
+    np_ = (n - Tp) // PROBE_STRIDE + 1
+    yv_r = yr[:, : m40 * PROBE_STRIDE].reshape(R, m40, PROBE_STRIDE)
+    yv_i = yi[:, : m40 * PROBE_STRIDE].reshape(R, m40, PROBE_STRIDE)
+
+    def dsum(M):                                           # (R, m40, A)
+        acc = M[:, 0:np_, 0]
+        for a in range(1, A):
+            acc = acc + M[:, a: a + np_, a]
+        return acc                                         # (R, np_)
+
+    p_re = dsum(yv_r @ tr) - dsum(yv_i @ ti)
+    p_im = dsum(yv_r @ ti) + dsum(yv_i @ tr)
+    return p_re ** 2 + p_im ** 2                           # (R, np_)
+
+
 @partial(jax.jit, static_argnames=("slot_ch", "kappa"))
 def _stream_snr_impl(yr, yi, taps_re, taps_im, *, slot_ch: int, kappa: float):
     """(C+1, n) channel streams (last row = probe row above the top
@@ -165,30 +195,58 @@ def _stream_snr_impl(yr, yi, taps_re, taps_im, *, slot_ch: int, kappa: float):
     on = (yr[:C, :m] ** 2 + yi[:C, :m] ** 2).reshape(C, S, slot_ch).mean(-1)
 
     # probe: shared band-pass on rows 1..C (neighbor of each channel)
-    T = taps_re.shape[0]
-    A = -(-T // PROBE_STRIDE)
-    Tp = A * PROBE_STRIDE
-    tr = jnp.pad(taps_re, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
-    ti = jnp.pad(taps_im, (0, Tp - T)).reshape(A, PROBE_STRIDE).T
-    m40 = m // PROBE_STRIDE
-    np_ = (m - Tp) // PROBE_STRIDE + 1
-    yv_r = yr[1:, : m40 * PROBE_STRIDE].reshape(C, m40, PROBE_STRIDE)
-    yv_i = yi[1:, : m40 * PROBE_STRIDE].reshape(C, m40, PROBE_STRIDE)
-
-    def dsum(M):                                           # (C, m40, A)
-        acc = M[:, 0:np_, 0]
-        for a in range(1, A):
-            acc = acc + M[:, a: a + np_, a]
-        return acc                                         # (C, np_)
-
-    p_re = dsum(yv_r @ tr) - dsum(yv_i @ ti)
-    p_im = dsum(yv_r @ ti) + dsum(yv_i @ tr)
-    pe = p_re ** 2 + p_im ** 2                             # (C, np_)
+    pe = _probe_grid(yr[1:, :m], yi[1:, :m], taps_re, taps_im)
     per_slot = slot_ch // PROBE_STRIDE
-    Sp = min(S, np_ // per_slot)
+    Sp = min(S, pe.shape[1] // per_slot)
     off = pe[:, : Sp * per_slot].reshape(C, Sp, per_slot).mean(-1)
     off = jnp.pad(off, ((0, 0), (0, S - Sp)), mode="edge") * kappa
 
     snr_db = 10.0 * (jnp.log10(jnp.maximum(on, 1e-30)) -
                      jnp.log10(jnp.maximum(off, 1e-30)))
     return snr_db.T, on.T, off.T                           # (S, C)
+
+
+def assemble_fused_snr(oe, pe, *, S: int, slot_ch: int, kappa: float,
+                       C: int, taps_len: int):
+    """(S, C) slot SNR from the PFB kernel's fused partials
+    (pfb_kernel.pfb_channelize_snr_fused): oe (G, C+1, 2) per-tile
+    on-energy piece sums, pe (G, C+1, _PC) probe energies at the tiles'
+    grid positions.  Pure segment sums over a few thousand partials —
+    the full y stream is never re-read.
+
+    Same slot semantics as _stream_snr_impl: on = mean |y|^2 per slot,
+    off = per-slot mean of the probe energies (grouped by position index
+    k in runs of slot_ch // PROBE_STRIDE, identical grouping)."""
+    from . import pfb_kernel as pk
+
+    G = oe.shape[0]
+    t = np.arange(G)
+    s0 = (pk._TF * t) // slot_ch
+    ids = np.minimum(np.stack([s0, s0 + 1], 1).reshape(-1), S)
+    vals = oe.transpose(0, 2, 1).reshape(2 * G, -1)
+    on = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=S + 1,
+                             indices_are_sorted=True)
+    on = on[:S, :C] / slot_ch                              # (S, C)
+
+    Tp = -(-taps_len // PROBE_STRIDE) * PROBE_STRIDE
+    m = S * slot_ch
+    np_ = (m - Tp) // PROBE_STRIDE + 1
+    if np_ < 1:
+        raise ValueError("block too short for the probe band-pass")
+    k0 = -(-pk._TF * t // PROBE_STRIDE)
+    j = np.arange(pk._PC)
+    kk = k0[:, None] + j[None, :]
+    valid = ((PROBE_STRIDE * kk < pk._TF * (t[:, None] + 1)) &
+             (kk < np_) & (j[None, :] < 26))
+    pids = np.where(valid, kk, np_).reshape(-1)
+    pvals = pe.transpose(0, 2, 1).reshape(G * pk._PC, -1)
+    pev = jax.ops.segment_sum(pvals, jnp.asarray(pids),
+                              num_segments=np_ + 1)[:np_, 1:C + 1]
+    per_slot = slot_ch // PROBE_STRIDE
+    Sp = min(S, np_ // per_slot)
+    off = pev[: Sp * per_slot].reshape(Sp, per_slot, C).mean(1)
+    off = jnp.pad(off, ((0, S - Sp), (0, 0)), mode="edge") * kappa
+
+    snr_db = 10.0 * (jnp.log10(jnp.maximum(on, 1e-30)) -
+                     jnp.log10(jnp.maximum(off, 1e-30)))
+    return snr_db                                          # (S, C)

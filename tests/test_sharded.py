@@ -86,13 +86,16 @@ def test_scaling_efficiency_harness(mesh):
     virtual devices the number is sharding overhead, not real scaling, so
     only sanity-bound it (the recorded figure comes from dryrun_multichip)."""
     fe = FrontEnd(4e6, CENTER, block_slots=8)
-    eff = measure_scaling_efficiency(fe, mesh, n_superblocks=2, repeats=1)
+    eff = measure_scaling_efficiency(fe, mesh, n_superblocks=2, repeats=3)
     assert eff["n_devices"] == 4
     assert eff["sharded_sps"] > 0 and eff["ideal_sps"] > 0
     assert eff["scan_1dev_sps"] > 0
+    assert eff["halo_bytes_per_superblock"] > 0
     # efficiency isolates the halo collective vs an identical zero-comm
-    # twin, so it is <= 1 by construction (small timing jitter allowance)
-    assert 0.05 < eff["efficiency"] <= 1.05
+    # twin, so it is <= 1 by construction — UNLESS the halo cost is under
+    # the timer jitter, which the harness now reports explicitly
+    assert 0.05 < eff["efficiency"]
+    assert eff["efficiency"] <= 1.02 or eff["noise_floor"], eff
 
 
 def test_dryrun_multichip_entrypoint():
