@@ -99,16 +99,34 @@ class FrontEnd:
         self.use_pallas = bool(use_pallas)
         # polyphase DFT filterbank for even samples/symbol (the common and
         # fast path: ~ntaps MACs/sample + one small matmul), dense strided
-        # conv bank for odd rates (same prototype filter, same outputs)
-        sps = int(round(sample_rate / 1e6))
-        if sps >= 2 and sps % 2 == 0:
-            self.bank = pfb.make_pfb_bank(sample_rate, center_freq)
+        # conv bank for odd integer rates (same prototype filter, same
+        # outputs); off-grid rates (2.5 Msps, 7.68 Msps, ... — the
+        # reference accepts any rate >= 2 Msps, lib/multi_block.cc:82)
+        # resample to the nearest even integer Msps first and then run
+        # the PFB restricted to the TRUE band's channels
+        self.input_rate = sample_rate
+        self.resampler = None
+        spsf = sample_rate / 1e6
+        if abs(spsf - round(spsf)) < 1e-9 and round(spsf) >= 2:
+            sps = int(round(spsf))
+            if sps % 2 == 0:
+                self.bank = pfb.make_pfb_bank(sample_rate, center_freq)
+                self.snr_consts = snr.make_stream_snr_consts(self.bank)
+                self.weights = None
+            else:
+                self.bank = channelizer.make_bank(sample_rate, center_freq)
+                self.snr_consts = None
+                self.weights = snr.make_snr_weights(self.bank)
+        else:
+            from ..ops import resample as _rs
+            fs_int = _rs.pick_internal_rate(sample_rate)
+            self.resampler = _rs.make_resampler(sample_rate, fs_int)
+            self.bank = pfb.make_pfb_bank(
+                fs_int, center_freq,
+                channels=channelizer.select_channels(sample_rate,
+                                                     center_freq))
             self.snr_consts = snr.make_stream_snr_consts(self.bank)
             self.weights = None
-        else:
-            self.bank = channelizer.make_bank(sample_rate, center_freq)
-            self.snr_consts = None
-            self.weights = snr.make_snr_weights(self.bank)
         self.squelch = squelch_threshold
         self.use_squelch = use_squelch
         self.block_slots = block_slots
@@ -385,6 +403,8 @@ class FrontEnd:
         samples = np.asarray(samples)
         if np.iscomplexobj(samples):
             samples = np.stack([samples.real, samples.imag]).astype(np.float32)
+        if self.resampler is not None:
+            samples = self.resampler(samples)
         ingest = self._ingests.get(wire)
         if ingest is None:
             ingest = self._ingests[wire] = PipelinedIngest(self, wire)
@@ -397,6 +417,8 @@ class FrontEnd:
         samples = np.asarray(samples)
         if np.iscomplexobj(samples):
             samples = np.stack([samples.real, samples.imag]).astype(np.float32)
+        if self.resampler is not None:
+            samples = self.resampler(samples)
         pos = 0
         slot_base = start_clkn
         n = samples.shape[1]
@@ -724,8 +746,20 @@ def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
     if wire_scale != 1.0:
         x = x * wire_scale
     xb = jnp.concatenate([carry, x], axis=1)
+    if use_pallas and is_pfb:
+        # stage on device so the step takes the fused-kernel fast path
+        # (K1+SNR, demod->words): the lane-pad relayout costs ~1.2 ms at
+        # full band, the staged step saves ~2.5 over the flat internals
+        from ..ops import pfb_kernel as _pk
+        Q = h0.shape[0]
+        F, _, _, _ = _pk.staged_geometry(xb.shape[1], decim, Q)
+        n_x = xb.shape[1] // decim
+        xv = xb[:, : n_x * decim].reshape(2, n_x, decim)
+        xb_in = jnp.pad(xv, ((0, 0), (0, F - n_x), (0, _pk._LD - decim)))
+    else:
+        xb_in = xb
     outs = _device_step(
-        xb, A68=A68, C68v=C68v, h0=h0, h1=h1, dft_c=dft_c, dft_s=dft_s,
+        xb_in, A68=A68, C68v=C68v, h0=h0, h1=h1, dft_c=dft_c, dft_s=dft_s,
         bin_odd=bin_odd, probe_re=probe_re, probe_im=probe_im,
         probe_mr=probe_mr, probe_mi=probe_mi,
         kernel=kernel, rot_q=rot_q, on_w=on_w, off_w=off_w,

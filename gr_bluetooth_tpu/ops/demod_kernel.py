@@ -177,7 +177,7 @@ def _kernel(yr_hbm, yi_hbm, pe, po, plo, phi, out_ref, xs, sem,
 
 @partial(jax.jit, static_argnames=("gain", "n_sym", "interpret"))
 def demod_timing_pack(yr, yi, gain: float, n_sym: int,
-                      interpret: bool = False):
+                      interpret: bool | None = None):
     """yr, yi: (C, F) float32 channel streams with
     F >= (n_tiles-1)*1024 + _WL (ops/pfb_kernel.py's staged output
     provides this via its trailing zero tile).
@@ -185,6 +185,8 @@ def demod_timing_pack(yr, yi, gain: float, n_sym: int,
     Returns words (C, ceil(n_sym/32)) int32, bit-exact with
     detect_pallas.pack_bits_words(recover_symbols(quadrature_demod(...)))
     at group=512 (junk bits beyond n_sym masked to zero)."""
+    from .detect_pallas import _resolve_interpret
+    interpret = _resolve_interpret(interpret)
     C, F = yr.shape
     n_t = -(-n_sym // _GROUP)
     need = (n_t - 1) * _TF + _WL

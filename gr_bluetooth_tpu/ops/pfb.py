@@ -66,7 +66,8 @@ class PfbBank:
         return len(self.channels)
 
 
-def make_pfb_bank(fs: float, center_freq: float) -> PfbBank:
+def make_pfb_bank(fs: float, center_freq: float,
+                  channels: tuple | None = None) -> PfbBank:
     sps = int(round(fs / 1e6))
     if abs(fs - sps * 1e6) > 1e-3 or sps < 2:
         raise ValueError("sample rate must be an integer multiple of 1 Msps >= 2")
@@ -78,7 +79,10 @@ def make_pfb_bank(fs: float, center_freq: float) -> PfbBank:
     M = sps
     D = M // 2
 
-    channels = select_channels(fs, center_freq)
+    # channels may be overridden by resampled front ends whose TRUE band
+    # is narrower than the internal rate (ops/resample.py)
+    channels = tuple(channels) if channels else \
+        select_channels(fs, center_freq)
     # one extra "probe row" above the top channel: the off-channel noise
     # probe at f_c + 790 kHz (multi_block.cc:71-79, 336-340) sits at
     # -210 kHz inside channel c+1's passband, so the SNR squelch reads it

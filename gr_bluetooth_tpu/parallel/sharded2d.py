@@ -171,44 +171,45 @@ class Sharded2DFrontEnd:
     def _merge_tab(self, n_hits, tab, windows, d, first_col_min):
         """Concatenate one time shard's per-group hit tables into a single
         channel-major table with GLOBAL channel indices, dropping rows from
-        each group's duplicated-coverage prefix."""
-        rows, wins, extra = [], [], 0
-        for g in range(self.n_chan):
-            raw = int(n_hits[d, g, 0])
-            k = min(raw, tab.shape[2])
-            extra += raw - k
-            tb = tab[d, g]
-            for i in range(k):
-                if tb[i, 0] < first_col_min[g]:
-                    continue
-                row = tb[i].copy()
-                row[0] += self.starts[g]
-                rows.append(row)
-                wins.append(windows[d, g, i])
-        kt = len(rows)
-        tab_m = (np.stack(rows) if rows
-                 else np.zeros((0, tab.shape[3]), tab.dtype))
-        win_m = (np.stack(wins) if wins
-                 else np.zeros((0, windows.shape[3]), windows.dtype))
-        return kt + extra, tab_m, win_m
+        each group's duplicated-coverage prefix.
+
+        Vectorized (one mask + one fancy-index pass) — the per-row loop
+        cost O(total hits) python at high hit counts (round-3 weak #6);
+        np.nonzero's row-major order preserves the (group, row) order the
+        loop produced."""
+        K = tab.shape[2]
+        raw = n_hits[d, :, 0].astype(np.int64)            # (G,)
+        kcl = np.minimum(raw, K)
+        extra = int((raw - kcl).sum())
+        idx = np.arange(K)[None, :]
+        tb = tab[d]                                       # (G, K, 4)
+        keep = (idx < kcl[:, None]) & \
+            (tb[:, :, 0] >= np.asarray(first_col_min)[:, None])
+        g_idx, i_idx = np.nonzero(keep)
+        tab_m = tb[g_idx, i_idx].copy()
+        if tab_m.size:
+            tab_m[:, 0] += np.asarray(self.starts)[g_idx]
+        win_m = windows[d][g_idx, i_idx]
+        return len(tab_m) + extra, tab_m, win_m
 
     def _merge_le(self, n_le, le_tab, le_win, d):
-        rows, wins, extra = [], [], 0
-        for g in range(self.n_chan):
-            raw = int(n_le[d, g, 0])
-            k = min(raw, le_tab.shape[2])
-            extra += raw - k
-            for i in range(k):
-                row = le_tab[d, g, i].copy()
-                row[0] = self.le_maps[g][int(row[0])]   # global LE row
-                rows.append(row)
-                wins.append(le_win[d, g, i])
-        kt = len(rows)
-        tab_m = (np.stack(rows) if rows
-                 else np.zeros((0, le_tab.shape[3]), le_tab.dtype))
-        win_m = (np.stack(wins) if wins
-                 else np.zeros((0, le_win.shape[3]), le_win.dtype))
-        return kt + extra, tab_m, win_m
+        K = le_tab.shape[2]
+        raw = n_le[d, :, 0].astype(np.int64)
+        kcl = np.minimum(raw, K)
+        extra = int((raw - kcl).sum())
+        idx = np.arange(K)[None, :]
+        keep = idx < kcl[:, None]
+        g_idx, i_idx = np.nonzero(keep)
+        tab_m = le_tab[d][g_idx, i_idx].copy()
+        if tab_m.size:
+            # per-group local LE row -> global LE row, via a padded map
+            mlen = max(len(m) for m in self.le_maps)
+            lm = np.zeros((self.n_chan, mlen), np.int64)
+            for g, m in enumerate(self.le_maps):
+                lm[g, :len(m)] = m
+            tab_m[:, 0] = lm[g_idx, np.clip(tab_m[:, 0], 0, mlen - 1)]
+        win_m = le_win[d][g_idx, i_idx]
+        return len(tab_m) + extra, tab_m, win_m
 
     def _assemble(self, out, slot_base: int) -> list[BlockResult]:
         host = [np.asarray(o) for o in out]
