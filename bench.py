@@ -25,16 +25,19 @@ Additional figures in the JSON line:
     production-shaped double-buffered pipeline (device-side carry +
     conversion, device_put of block i+1 overlapping compute of block i),
     plus the measured raw `device_put` link bandwidth that bounds them.
-  * roofline accounting: modeled HBM bytes + FLOPs per block for the
-    fused step under ideal fusion (each major intermediate written+read
-    once), the implied speed-of-light block time on this chip, and the
-    achieved fraction.  This names the headroom instead of guessing:
-    the step is HBM-bound, and the known gap is relayout traffic (the
-    polyphase deinterleave) plus unfused FIR passes.
+  * roofline accounting: modeled HBM bytes + FLOPs per block at the
+    CURRENT kernel boundaries (staged input read once, y stream written
+    by the fused PFB+SNR kernel and read once by the demod kernel,
+    packed planes), the implied speed-of-light block time, the achieved
+    fraction, and the fraction against the round-3 model for
+    comparability.
   * sniffer end-to-end: a busy capture (every 2nd slot occupied) through
     the FULL Sniffer (device frontend + host packet decode), plus the
     host-decode half alone (us/packet and the implied real-time factor
     at a worst-case fully-busy 1600 packets/s air load).
+  * hostile sniffer load: every slot occupied with mixed 1/3/5-slot
+    types from three piconets, LE on — scalar vs batched vs discovery
+    host decode.
 
 Prints ONE JSON line.
 """

@@ -494,3 +494,54 @@ def test_sniffer_le_connection_following_csa2():
     assert len(data) >= n_data_sent - 1
     for pkt in data:
         assert pn.predict_channel(pkt.clkn) == pkt.index
+
+
+def test_csa2_requires_both_chsel_bits():
+    """BT 5.0 Vol 6 Part B §4.5.8: the connection uses CSA#2 only when
+    BOTH the advertiser's PDU and the initiator's CONNECT_IND set ChSel.
+    A BT5 initiator connecting to a LEGACY advertiser (ADV_IND ChSel=0)
+    must be followed with CSA#1 (round-3 ADVICE fix)."""
+    from gr_bluetooth_tpu.core import le_ll, packets as P
+    from gr_bluetooth_tpu.ops import synth as S
+    from gr_bluetooth_tpu.testing import (LeConnectionSim,
+                                          make_le_connection_capture)
+    from gr_bluetooth_tpu.constants import SYMBOLS_PER_SLOT
+
+    class LegacyAdvSim(LeConnectionSim):
+        """ChSel=1 on the CONNECT_IND but the real hops are CSA#1 (the
+        spec outcome when the advertiser did not offer CSA#2)."""
+        def data_channel(self, event):
+            unmapped = ((event + 1) * self.hop_increment) % 37
+            return int(le_ll.csa1_channel(np.int64(unmapped), self.ch_map))
+
+    fs, center = 8e6, 2426e6
+    sim = LegacyAdvSim(ch_map=(1 << 10) | (1 << 11), ch_sel=1,
+                       interval=6, win_offset=1)
+    samples, sent = make_le_connection_capture(sim, n_slots=128, fs=fs,
+                                               center_freq=center,
+                                               connect_slot=4, n_events=8)
+    # overlay the legacy advertiser's ADV_IND (ChSel=0) before the
+    # CONNECT_IND, same AdvA, on advertising channel 38 (in band)
+    sps = int(fs // 1e6)
+    from gr_bluetooth_tpu.core.le_tables import LE_INDEX2CHAN
+    adv_bits = P.encode_le_adv(0x8E89BED6, 38, 0,
+                               sim.adv_a + b"\x02\x01\x06", ch_sel=0)
+    adv = S.synthesize_capture(
+        [S.PlannedPacket(channel=2 * int(LE_INDEX2CHAN[38]),
+                         start_sample=SYMBOLS_PER_SLOT * sps,
+                         bits=np.concatenate([adv_bits,
+                                              np.zeros(8, np.uint8)]))],
+        n_samples=len(samples), fs=fs, center_freq=center,
+        noise_std=0.0, seed=9)
+    bus = EventBus()
+    mode = Sniffer(fs, center, bus=bus, enable_le=True)
+    mode.run(samples + adv)
+
+    pn = mode.low_energy_piconets[sim.conn_aa]
+    assert pn.is_connection
+    assert pn.ch_sel == 0, "legacy advertiser must force CSA#1"
+    data = [p for p in mode.le_packets
+            if p.aa == sim.conn_aa and p.index < 37]
+    assert len(data) >= 5
+    for pkt in data:
+        assert pn.predict_channel(pkt.clkn) == pkt.index
