@@ -245,56 +245,81 @@ def roofline(fe, dt_block: float, device_kind: str) -> dict:
 
 
 def bench_sniffer_hostile():
-    """Worst-case host-decode load (VERDICT r3 #2): every slot occupied
-    back-to-back with mixed 1/3/5-slot DM/DH types from THREE piconets,
-    LE detection enabled, full 79-channel band.  Measures the host half
-    alone in steady state (all piconets known) and in discovery
-    (64-candidate clock attack per packet), plus batched-vs-scalar."""
+    """Worst-case host-decode loads (VERDICT r3 #2), full 79-channel band,
+    three piconets, LE on:
+      * `mixed`: every slot occupied back-to-back with mixed 1/3/5-slot
+        DM/DH types (~580 pkt/s air rate — big packets arrive slower)
+      * `max_rate`: every slot a 1-slot packet = the fully-busy
+        1600 pkt/s air load
+    For each: scalar vs batched us/packet, the real-time factor against
+    the capture's OWN air rate, and (max_rate) the per-piconet
+    multiprocess decode pool (models/parallel_host.py)."""
     import logging
 
+    from gr_bluetooth_tpu.models.parallel_host import ParallelHostDecoder
     from gr_bluetooth_tpu.models.sniffer import Sniffer
-    from gr_bluetooth_tpu.testing import PiconetSim, make_hostile_capture
+    from gr_bluetooth_tpu.testing import (PiconetSim, make_hostile_capture,
+                                          make_multi_piconet_capture)
 
     n_slots = 256
+    air_s = n_slots * 625e-6
     sims = [PiconetSim(lap=LAP, uap=UAP, clk0=0x12780),
             PiconetSim(lap=0x1A2B3C, uap=0x99, clk0=0x00450),
             PiconetSim(lap=0x654321, uap=0x13, clk0=0x71111)]
-    samples, sent = make_hostile_capture(sims, n_slots, FS, CENTER, seed=13)
-    x = np.stack([samples.real, samples.imag]).astype(np.float32)
 
     logging.disable(logging.INFO)
     try:
-        out = {"planted_pkts": len(sent)}
-        sn = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
-        blocks = list(sn.fe.stream(x))
-        n_hits = sum(len(r.hits) for r in blocks)
-        reps = 10
-        for name, batch in (("scalar", False), ("batched", True)):
-            s2 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS,
-                         batch_decode=batch)
-            s2.run_blocks(iter(blocks))        # discovery warm-up
-            n_dec = len(s2.decoded)
-            t0 = time.time()
-            for _ in range(reps):
-                s2.run_blocks(iter(blocks))    # steady state
-            us = (time.time() - t0) / reps / max(n_hits, 1) * 1e6
-            out[f"host_us_per_pkt_{name}"] = round(us, 1)
-            out[f"host_x_realtime_at_1600pps_{name}"] = round(
-                1.0 / (1600 * us * 1e-6), 2)
-            out[f"decoded_{name}"] = n_dec
-        # discovery mode: fresh piconet state every pass
-        s3 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
-        t0 = time.time()
-        for _ in range(3):
-            s3.basic_rate_piconets.clear()
-            s3.low_energy_piconets.clear()
-            s3.run_blocks(iter(blocks))
-        us = (time.time() - t0) / 3 / max(n_hits, 1) * 1e6
-        out["host_us_per_pkt_discovery"] = round(us, 1)
-        out["hits"] = n_hits
-        out["note"] = ("every slot occupied, mixed DM1/DH1/DM3/DM5/DH3/"
-                       "DH5, 3 piconets, LE on; x_realtime at a "
-                       "worst-case fully-busy 1600 pkt/s air load")
+        out = {}
+        for name, maker in (
+                ("mixed", lambda: make_hostile_capture(
+                    sims, n_slots, FS, CENTER, seed=13)),
+                ("max_rate", lambda: make_multi_piconet_capture(
+                    sims, n_slots, FS, CENTER, seed=13))):
+            samples, sent = maker()
+            x = np.stack([samples.real, samples.imag]).astype(np.float32)
+            sn = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+            blocks = list(sn.fe.stream(x))
+            n_hits = sum(len(r.hits) for r in blocks)
+            reps = 10
+            sec = {"planted_pkts": len(sent), "hits": n_hits,
+                   "air_pkt_per_s": round(len(sent) / air_s, 0)}
+            for mode, batch in (("scalar", False), ("batched", True)):
+                s2 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS,
+                             batch_decode=batch)
+                s2.run_blocks(iter(blocks))    # discovery warm-up
+                sec[f"decoded_{mode}"] = len(s2.decoded)
+                t0 = time.time()
+                for _ in range(reps):
+                    s2.run_blocks(iter(blocks))
+                dt = (time.time() - t0) / reps
+                us = dt / max(n_hits, 1) * 1e6
+                sec[f"host_us_per_pkt_{mode}"] = round(us, 1)
+                sec[f"host_x_realtime_{mode}"] = round(air_s / dt, 2)
+            if name == "max_rate":
+                with ParallelHostDecoder(n_workers=3) as pool:
+                    got = pool.drive(sn.fe, iter(blocks))
+                    t0 = time.time()
+                    for _ in range(reps):
+                        pool.drive(sn.fe, iter(blocks))
+                    dtp = (time.time() - t0) / reps
+                sec["decoded_parallel3"] = len(got)
+                sec["host_us_per_pkt_parallel3"] = round(
+                    dtp / max(n_hits, 1) * 1e6, 1)
+                sec["host_x_realtime_parallel3"] = round(air_s / dtp, 2)
+                # discovery mode: fresh piconet state every pass
+                s3 = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
+                t0 = time.time()
+                for _ in range(3):
+                    s3.basic_rate_piconets.clear()
+                    s3.low_energy_piconets.clear()
+                    s3.run_blocks(iter(blocks))
+                sec["host_us_per_pkt_discovery"] = round(
+                    (time.time() - t0) / 3 / max(n_hits, 1) * 1e6, 1)
+            out[name] = sec
+        out["note"] = ("3 piconets, LE on; x_realtime compares host time "
+                       "to the capture's own 160 ms of air; max_rate IS "
+                       "the fully-busy 1600 pkt/s load; parallel3 = "
+                       "per-LAP multiprocess decode pool")
         return out
     finally:
         logging.disable(logging.NOTSET)

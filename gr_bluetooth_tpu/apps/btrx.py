@@ -178,6 +178,14 @@ def _run_source(opts, mode, start_clkn: int) -> int:
         # overlap-save carry, double-buffered H2D (io/ingest.py); clkn
         # stays locked to air time across live overruns (clock slips)
         fe = mode.fe
+        if fe.resampler is not None:
+            # the wire chunk loop runs at the bank's internal rate; the
+            # host resampler only fronts the file/array paths today
+            print(f"error: stdin/live input at off-grid rate "
+                  f"{fe.input_rate/1e6:g} Msps is not supported — use a "
+                  f"capture file, or an integer-Msps radio rate",
+                  file=sys.stderr)
+            return 2
         wire = ("i8" if opts.input_bytes else
                 "i16" if opts.input_shorts else "f32")
         from ..io.ingest import PipelinedIngest, live_chunks
