@@ -179,13 +179,19 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
         o["payload_header_length"] = 0
         if not hdr_parse_ok[i]:
             o["ok"] = False
+            o["fail"] = "hdr"
             continue
         o["payload_header_length"] = 2 if hb2[i] else 1
         o["payload_length"] = int(length_l[i])
         o["payload_llid"] = int(llid[i])
         o["payload_flow"] = int(flow[i])
-        if not in_range[i] or not fec_all_ok[i]:
+        if not in_range[i]:
             o["ok"] = False
+            o["fail"] = "range"
+            continue
+        if not fec_all_ok[i]:
+            o["ok"] = False
+            o["fail"] = "payload_fec"
             continue
         ln = length_l[i]
         bl = ln * 8

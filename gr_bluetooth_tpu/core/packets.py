@@ -749,3 +749,46 @@ def encode_le_data(aa: int, index: int, llid: int, payload: bytes,
     header[2], header[3], header[4] = nesn & 1, sn & 1, md & 1
     header[8:13] = host_to_air(len(payload), 5)
     return _le_assemble(aa, index, header, payload, crc_init)
+
+
+def crc_check_clocks(pkt: ClassicPacket, clocks, uaps, types) -> list:
+    """Vectorized crc_check over candidate CLK1-6 values — the inner loop
+    of the UAP attack (lib/piconet_impl.cc:457-496) scored in one batched
+    pass instead of up to 64 python payload decodes per packet.
+
+    clocks/uaps/types: per-candidate values from try_clocks.  Returns the
+    per-candidate crc_check retvals (0 / 1 / >=10), identical to calling
+    pkt.crc_check(clock) after try_clock (tests/test_batch_decode.py).
+    ACL types score from core/batch_decode rows; FHS and voice/extended
+    types fall back to the scalar path per candidate."""
+    from . import batch_decode
+
+    K = len(clocks)
+    n = len(pkt.symbols)
+    # pad generously: wrong-clock candidates decode garbage types/lengths
+    # whose GROUP-wide FEC block count must not get clipped by the matrix
+    # width (that would silently skip the true clock's CRC) — cover the
+    # worst case: DV voice offset 206 + DH5 maxlen 343 bytes of 2/3-FEC
+    sym = np.zeros((K, max(n, 206 + 15 * 280)), np.uint8)
+    sym[:, :n] = pkt.symbols[None, :]
+    rows = batch_decode.decode_known_rows(
+        sym, np.full(K, n), np.asarray(clocks, np.int64),
+        np.asarray(uaps, np.int64))
+    out = []
+    for k in range(K):
+        t = int(types[k])
+        row = rows[k]
+        if row is None or row.get("header_failed"):
+            # exotic type (FHS/HV/EV) -> scalar semantics, per candidate
+            pkt.uap = int(uaps[k])
+            pkt.packet_type = t
+            out.append(pkt.crc_check(int(clocks[k])))
+            continue
+        if row["ok"] and row.get("crc_ok"):
+            r = 10
+        elif t == 3 and row.get("fail") in ("hdr", "payload_fec"):
+            r = 0
+        else:
+            r = 1
+        out.append(r)
+    return out

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..constants import MAX_PATTERN_LENGTH, SEQUENCE_LENGTH
 from ..core import hop, le_ll
+from ..core import packets as packets_mod
 from ..core.packets import ClassicPacket
 from ..ops import hop_ops
 from ..utils.log import get_logger
@@ -112,18 +113,33 @@ class BasicRatePiconet:
         remaining = 0
         first_clock = 0
         new_cands = self.clock6_candidates.copy()
+        # survivors after the cheap (header) eliminations; their payload
+        # scoring runs as ONE batched pass instead of per-candidate python
+        # (the dominant discovery-mode host cost — up to 64 payload
+        # decodes per packet, lib/piconet_impl.cc:457-496)
+        live = []
         for count in np.nonzero(alive)[0]:
-            clock = int(clocks[count])
-            uap = int(uaps[count]) if fec_ok else 0
             if not fec_ok:
                 new_cands[count] = -1
                 continue
-            if self.got_first_packet and uap != self.clock6_candidates[count]:
+            if self.got_first_packet and \
+                    int(uaps[count]) != self.clock6_candidates[count]:
                 new_cands[count] = -1
                 continue
+            live.append(int(count))
+        retvals = {}
+        if live and fec_ok:
+            scores = packets_mod.crc_check_clocks(
+                pkt, [int(clocks[c]) for c in live],
+                [int(uaps[c]) for c in live],
+                [int(types[c]) for c in live])
+            retvals = dict(zip(live, scores))
+        for count in live:
+            clock = int(clocks[count])
+            uap = int(uaps[count])
             pkt.uap = uap
             pkt.packet_type = int(types[count])
-            retval = pkt.crc_check(clock)
+            retval = retvals[count]
             if retval == 0:
                 new_cands[count] = -1
             elif retval == 1:

@@ -110,3 +110,27 @@ def test_sniffer_batch_parity_multi_piconet():
     a, b = run(False), run(True)
     assert a == b
     assert len(a) > 0
+
+def test_crc_check_clocks_matches_scalar():
+    """Vectorized candidate scoring == scalar try_clock + crc_check for
+    all 64 clocks, across types and corruption."""
+    for t, payload, corrupt in ((3, b"\x01\x02\x03", None),
+                                (10, bytes(range(40)), None),
+                                (4, b"ABCDEF", None),
+                                (15, bytes(range(100)), None),
+                                (3, b"\x01\x02\x03", "payload_fec"),
+                                (0, b"", None)):
+        sym, size = _mk(t, payload, clock=0x2A, corrupt=corrupt)
+        clocks = np.arange(64)
+        base = ClassicPacket(symbols=sym[:size].copy())
+        uaps, types, fec_ok = base.try_clocks(clocks)
+        assert fec_ok
+        want = []
+        for c in range(64):
+            pkt = ClassicPacket(symbols=sym[:size].copy())
+            pkt.try_clock(c)
+            want.append(pkt.crc_check(c))
+        got = packets.crc_check_clocks(
+            ClassicPacket(symbols=sym[:size].copy()),
+            clocks.tolist(), uaps.tolist(), types.tolist())
+        assert got == want, (t, corrupt)
