@@ -69,30 +69,32 @@ def decode_known_rows(bits: np.ndarray, sizes: np.ndarray,
     hdr_ok = usable & fec_ok & (crc.uap_from_hec(hdr_data, hec) == uaps)
     ptypes = air_to_host(unw[:, 3:7])
 
-    for k in range(K):
-        t = int(ptypes[k])
-        if not hdr_ok[k]:
-            # header verify failed: decode() == False with no payload;
-            # report it so the caller can run its clock-lost path
-            out[k] = dict(ok=False, header_failed=True)
-        elif t not in _BATCH_TYPES:
-            out[k] = None                                      # defer
-        else:
+    # row dispatch in pure python (tolist first: numpy scalar indexing in
+    # a K-loop was the single largest host-decode cost at the hostile
+    # load, round-5 profile) — header-fail rows report so the caller can
+    # run its clock-lost path; exotic types defer to the scalar path
+    hdr_ok_l = hdr_ok.tolist()
+    ptypes_l = ptypes.tolist()
+    _FAIL = dict(ok=False, header_failed=True)
+    for k, (ho, t) in enumerate(zip(hdr_ok_l, ptypes_l)):
+        if not ho:
+            out[k] = _FAIL.copy()
+        elif t in _BATCH_TYPES:
             out[k] = dict(ok=False, header_failed=False,
                           packet_type=t, packet_header=unw[k],
                           payload=None, payload_length=0,
                           payload_header_length=0, payload_llid=0,
                           payload_flow=0)
 
-    rows = np.array([k for k in range(K)
-                     if out[k] is not None and not out[k]["header_failed"]],
+    rows = np.array([k for k, o in enumerate(out)
+                     if o is not None and not o["header_failed"]],
                     dtype=np.int64)
     if not rows.size:
         return out
 
     rt = ptypes[rows]
     # NULL / POLL: empty payload, decode succeeds
-    for k in rows[np.isin(rt, (0, 1))]:
+    for k in rows[np.isin(rt, (0, 1))].tolist():
         out[k]["ok"] = True
         out[k]["payload"] = np.zeros(0, dtype=np.uint8)
 
@@ -129,6 +131,14 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     maxlen = _T_MAX[t]
     off = 126 + voice
     size = sizes[g] - off
+    # the payload-header and FEC-block gathers below index up to
+    # off.max()+30 columns regardless of the rows' true sizes (out-of-size
+    # reads are masked by hdr_parse_ok / in_range) — zero-pad narrow bit
+    # matrices so a block whose hits all sit near the tail (size 126..235
+    # with an ACL/DV type) cannot raise IndexError (ADVICE r4 #1)
+    need = int(off.max()) + 30
+    if bits.shape[1] < need:
+        bits = np.pad(bits, ((0, 0), (0, need - bits.shape[1])))
 
     # payload header: both variants on a 30-bit window, selected per row
     span30 = np.arange(30)
@@ -172,34 +182,59 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     crcs = crc.crc16_ragged(unw[:, : nbytes_max * 8], data_bits, uaps[g])
     w16 = (1 << np.arange(16, dtype=np.int64))
 
+    # DV voice field: 80 raw air bits at payload start, whitened like the
+    # payload (skip 18), no FEC/CRC — decoded whenever the scalar path
+    # would (packets.ClassicPacket._dm), i.e. for every hdr-ok DV row
+    # whose stream covers 80 bits
+    dv = np.nonzero((t == 8) & (sizes[g] - 126 >= 80))[0]
+    if dv.size:
+        vg = g[dv]
+        vbits = bits[vg[:, None], 126 + np.arange(80)[None, :]]
+        vunw = vbits ^ whitening.whitening_word(clocks[vg], 80, _HDR_SKIP)
+        for j, i in enumerate(dv.tolist()):
+            out[g[i]]["voice"] = vunw[j]
+
+    # received CRC-16 per row, batched: gather each row's trailing 16
+    # payload bits at its own length (clipped in-bounds; rows where the
+    # CRC does not apply are masked off below)
+    cpos = np.clip((length - 2) * 8, 0, max(unw.shape[1] - 16, 0))
+    cidx = cpos[:, None] + np.arange(16)[None, :]
+    crc_rx = (np.take_along_axis(unw, cidx, axis=1).astype(np.int64)
+              * w16).sum(axis=1)
+    has_crc = ~np.isin(t, _NO_CRC_TYPES) & (length >= 2) & \
+        (length <= nbytes_max)
+    crc_match = crcs == crc_rx
+
+    # per-row assembly in pure python over tolist'd columns (numpy scalar
+    # indexing here was ~46 us/pkt at the hostile load, round-5 profile)
     length_l = length.tolist()
+    llid_l = llid.tolist()
+    flow_l = flow.tolist()
+    hb2_l = hb2.tolist()
+    hp_l = hdr_parse_ok.tolist()
+    ir_l = in_range.tolist()
+    fok_l = fec_all_ok.tolist()
+    hc_l = has_crc.tolist()
+    cm_l = crc_match.tolist()
+    g_l = g.tolist()
     for i in range(Kg):
-        k = g[i]
-        o = out[k]
-        o["payload_header_length"] = 0
-        if not hdr_parse_ok[i]:
+        o = out[g_l[i]]
+        if not hp_l[i]:
             o["ok"] = False
             o["fail"] = "hdr"
             continue
-        o["payload_header_length"] = 2 if hb2[i] else 1
-        o["payload_length"] = int(length_l[i])
-        o["payload_llid"] = int(llid[i])
-        o["payload_flow"] = int(flow[i])
-        if not in_range[i]:
+        o["payload_header_length"] = 2 if hb2_l[i] else 1
+        o["payload_length"] = length_l[i]
+        o["payload_llid"] = llid_l[i]
+        o["payload_flow"] = flow_l[i]
+        if not ir_l[i]:
             o["ok"] = False
             o["fail"] = "range"
             continue
-        if not fec_all_ok[i]:
+        if not fok_l[i]:
             o["ok"] = False
             o["fail"] = "payload_fec"
             continue
-        ln = length_l[i]
-        bl = ln * 8
-        o["payload"] = unw[i, :bl].astype(np.uint8)
+        o["payload"] = unw[i, : length_l[i] * 8]
         o["ok"] = True
-        if int(t[i]) not in _NO_CRC_TYPES and 2 <= ln <= nbytes_max:
-            check = int((unw[i, (ln - 2) * 8: ln * 8].astype(np.int64)
-                         * w16).sum())
-            o["crc_ok"] = int(crcs[i]) == check
-        else:
-            o["crc_ok"] = None
+        o["crc_ok"] = cm_l[i] if hc_l[i] else None

@@ -62,6 +62,7 @@ class ClassicPacket:
     payload_header_length: int = 0
     payload_llid: int = 0
     payload_flow: int = 0
+    voice: np.ndarray | None = None      # DV: unwhitened 80-bit voice field
 
     def __post_init__(self):
         self.symbols = np.asarray(self.symbols, dtype=np.uint8)
@@ -202,7 +203,12 @@ class ClassicPacket:
         }.get(self.packet_type, (None, None))
         if header_bytes is None:
             return 0
-        if self.packet_type == 8:      # DV: skip 80 voice bits
+        if self.packet_type == 8:      # DV: 80-bit voice field first
+            if size >= 80:
+                # the reference only skips these bits
+                # (lib/packet_impl.cc:783-785); we also decode them —
+                # raw air bits, no FEC/CRC, whitened like the payload
+                self.voice = self._unwhiten(stream[:80], clock, _HDR_SKIP)
             stream = stream[80:]
             size -= 80
         if not self._decode_payload_header(stream, clock, header_bytes, size, True):
@@ -371,6 +377,13 @@ class ClassicPacket:
     def set_uap(self, uap: int):
         self.uap = uap
         self.have_uap = True
+
+    def voice_bytes(self) -> bytes | None:
+        """DV voice-field bytes (10), or None if absent/undecoded."""
+        if self.voice is None:
+            return None
+        return bytes(int(air_to_host(self.voice[8 * i: 8 * i + 8]))
+                     for i in range(10))
 
     # ------------------------------------------------------------ FHS fields
 
@@ -612,13 +625,21 @@ def _payload_header_bits(nbody: int, llid: int, flow: int,
 def encode_classic_packet(lap: int, uap: int, clock: int, type_code: int,
                           payload_bytes: bytes = b"", lt_addr: int = 1,
                           llid: int = 2, flow: int = 0,
-                          whiten: bool = True) -> np.ndarray:
+                          whiten: bool = True,
+                          voice_bytes: bytes = b"") -> np.ndarray:
     """Air symbols for a classic packet: AC + FEC1/3 header [+ payload].
 
     Supported payload types: NULL/POLL (no payload), DM1/DM3/DM5 (FEC2/3 +
     CRC), DH1/DH3/DH5/AUX1 (no FEC), HV1/HV2/HV3 (fixed length, no CRC),
-    EV3/EV5 (CRC, no FEC), EV4 (CRC, FEC2/3).  FHS: use encode_fhs_packet.
-    `clock` is the piconet CLK1-6 (or CLK1-27; low 6 bits whiten)."""
+    EV3/EV5 (CRC, no FEC), EV4 (CRC, FEC2/3), DV (80-bit voice field +
+    DM1-style data field, voice_bytes must be 10 bytes).  FHS: use
+    encode_fhs_packet.  `clock` is the piconet CLK1-6 (or CLK1-27; low 6
+    bits whiten).
+
+    DV framing matches the reference decoder (lib/packet_impl.cc:783-793):
+    the voice ("synchronous data") field is 80 raw air bits with no FEC
+    and no CRC, and the data field's whitening index starts at 18 — the
+    same as every other payload — not 18+80."""
     ac = access_code.ac_bits(lap)
     hdr18 = _encode_header_bits(lt_addr, type_code, flow, 0, 0, uap)
     if whiten:
@@ -627,6 +648,17 @@ def encode_classic_packet(lap: int, uap: int, clock: int, type_code: int,
 
     if type_code in (0, 1):
         return np.concatenate(out)
+
+    if type_code == 8:               # DV voice field precedes the data field
+        if len(voice_bytes) != 10:
+            raise ValueError("DV needs exactly 10 voice bytes (80 bits)")
+        vbits = host_to_air(np.frombuffer(bytes(voice_bytes), np.uint8),
+                            8).reshape(-1)
+        if whiten:
+            vbits = whitening.unwhiten(vbits, clock, _HDR_SKIP)
+        out.append(vbits)
+    elif voice_bytes:
+        raise ValueError("voice_bytes only applies to DV (type 8)")
 
     body = np.frombuffer(bytes(payload_bytes), dtype=np.uint8)
     body_bits = host_to_air(body, 8).reshape(-1) if len(body) else \

@@ -351,10 +351,12 @@ class FrontEnd:
 
     @staticmethod
     def _unpack_window(row: np.ndarray, sym_offset: int, n: int) -> np.ndarray:
+        """Window rows arrive bit-aligned from the device (_gather_windows
+        applies the off%32 funnel shift); sym_offset is unused but kept
+        for signature stability."""
         bits = np.unpackbits(np.ascontiguousarray(row).view(np.uint8),
                              bitorder="little")
-        s = sym_offset % 32
-        return bits[s: s + n].astype(np.int8)
+        return bits[:n].astype(np.int8)
 
     def packet_symbols(self, res: BlockResult, hit: Hit) -> np.ndarray:
         """Symbol window for a hit (up to 5 slots), for packet decode."""
@@ -373,11 +375,12 @@ class FrontEnd:
                     np.zeros(0, np.int64))
         rows = np.array([h.win_row for h in res.hits])
         w = np.ascontiguousarray(res.windows[rows])    # hits' rows only
+        # rows arrive bit-aligned from the device, so one unpackbits is
+        # the whole job (round 4 shifted each row here via a K x 3200
+        # take_along_axis — the second-largest host cost under load)
         allbits = np.unpackbits(w.view(np.uint8).reshape(K, -1),
                                 axis=1, bitorder="little")
-        offs = np.array([h.sym_offset % 32 for h in res.hits])
-        idx = offs[:, None] + np.arange(WIN_SYMBOLS)[None, :]
-        sym = np.take_along_axis(allbits, idx, axis=1)
+        sym = allbits[:, :WIN_SYMBOLS]
         sizes = np.array([min(WIN_SYMBOLS, self.n_sym - h.sym_offset)
                           for h in res.hits], dtype=np.int64)
         return sym, sizes
@@ -579,14 +582,17 @@ def _unpack_word_rows(words, rows, n_sym: int):
 
 def _gather_windows(words, chan, off, valid, width_bits):
     """(K,) channel/bit-offset -> (K, width_bits//32 + 1) int32 packed
-    symbol windows.
+    symbol windows, BIT-ALIGNED to each hit's offset (bit b of word j is
+    the symbol at off + 32*j + b).
 
     vmapped dynamic_slice => one XLA gather of K *contiguous word rows*
     (slice_sizes=(1, ww)) instead of K*ww scalar gathers.  Word (not
     byte) rows: the uint8 form gathered 4x the elements, unaligned, and
     cost ~0.45 ms/block on v5e (round-4 profile) vs ~0.1 for words.  The
-    host views the row as bytes, unpacks, and drops the off%32 head
-    bits."""
+    off%32 sub-word alignment shift happens HERE, on device (a K x ww
+    funnel shift — VPU noise): round-4 shipped word-aligned rows and the
+    host's per-row shift gather (take_along_axis over K x 3200) was the
+    second-largest host cost at the hostile load (round-5 profile)."""
     C, nw = words.shape
     ww = width_bits // 32 + 1
     padded = jnp.pad(words, ((0, 1), (0, ww)))     # row C = zeros (invalid)
@@ -595,7 +601,14 @@ def _gather_windows(words, chan, off, valid, width_bits):
     win = jax.vmap(
         lambda ci, oi: jax.lax.dynamic_slice(padded, (ci, oi), (1, ww))[0]
     )(c, o)
-    return win
+    # funnel shift: aligned[j] = (w[j] >> s) | (w[j+1] << (32-s)), s=off%32
+    u = win.astype(jnp.uint32)
+    s = (off % 32).astype(jnp.uint32)[:, None]
+    nxt = jnp.concatenate([u[:, 1:], jnp.zeros_like(u[:, :1])], axis=1)
+    lo = jax.lax.shift_right_logical(u, jnp.broadcast_to(s, u.shape))
+    hi = jax.lax.shift_left(nxt, jnp.broadcast_to((32 - s) % 32, u.shape))
+    hi = jnp.where(s > 0, hi, 0)
+    return (lo | hi).astype(jnp.int32)
 
 
 def _squelch_gate(snr_db, n, delay_sym, squelch):

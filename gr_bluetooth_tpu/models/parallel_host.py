@@ -56,22 +56,29 @@ def _worker_main(conn, log_level):
 
     piconets: dict[int, BasicRatePiconet] = {}
 
+    _CRC_TYPES = (3, 4, 8, 10, 11, 14, 15)   # ACL types carrying a CRC-16
+
     def decode_one(pkt, pn, first_run, pre=None):
         clock = pkt.clkn + pn.get_offset()
         pkt.set_clock(clock, pn.have_clk27)
         pkt.set_uap(pn.uap)
+        crc_ok = None
         if pre is not None and pre[1] == pkt.clock and pre[2] == pn.uap:
             from .sniffer import _apply_batch_row
             ok = _apply_batch_row(pkt, pre[0])
+            crc_ok = pre[0].get("crc_ok")
         else:
             ok = pkt.decode()
+            if ok and pkt.packet_type in _CRC_TYPES and \
+                    pkt.payload_length >= 2:
+                crc_ok = pkt._payload_crc_ok()
         out = []
         if ok:
             out.append(DecodedPacket(
                 pkt.lap, pkt.uap, pkt.clkn, pkt.channel, pkt.packet_type,
                 pkt.payload_length,
                 np.packbits(pkt.payload).tobytes()
-                if pkt.payload is not None else None, None))
+                if pkt.payload is not None else None, crc_ok))
             if pkt.packet_type == 2:           # FHS: offset/uap harvest
                 lap = pkt.lap_from_fhs()
                 # stored locally; if the advertised LAP hashes to another
@@ -129,6 +136,7 @@ def _worker_main(conn, log_level):
                 continue                        # ID packet: caller logs
             pkt = ClassicPacket(symbols=syms[i], clkn=r["clkn"],
                                 channel=r["channel"], snr=r["snr"])
+            pkt._lap = r["lap"]     # device-computed; skip the re-derive
             lap = pkt.lap
             pn = piconets.get(lap)
             if pn is None:
@@ -203,10 +211,27 @@ class ParallelHostDecoder:
         round-trip overlaps the next block's shard preparation."""
         decoded = []
         pending: list[list[int]] = []
+        # per-worker receive buffers: results drained opportunistically by
+        # _drain() before each send, so the main process never blocks in
+        # conn.send() while a worker blocks in ITS send of a large result
+        # (both OS pipe buffers full — ADVICE r4 #3); workers answer their
+        # queues strictly in order, so buffered results stay aligned with
+        # `pending`'s block order
+        rxbuf: list[list] = [[] for _ in range(self.n)]
+
+        def _recv(w):
+            if rxbuf[w]:
+                return rxbuf[w].pop(0)
+            return self._conns[w].recv()
+
+        def _drain():
+            for w, c in enumerate(self._conns):
+                while c.poll():
+                    rxbuf[w].append(c.recv())
 
         def reap():
             for w in pending.pop(0):
-                status, payload = self._conns[w].recv()
+                status, payload = _recv(w)
                 if status == "error":
                     raise RuntimeError(f"decode worker failed:\n{payload}")
                 decoded.extend(payload)
@@ -234,6 +259,7 @@ class ParallelHostDecoder:
             busy = []
             for w, rows in enumerate(shards):
                 if rows:
+                    _drain()
                     self._conns[w].send(("block", rows))
                     busy.append(w)
             pending.append(busy)

@@ -40,6 +40,7 @@ def _apply_batch_row(pkt: ClassicPacket, row: dict) -> bool:
         return False
     pkt.packet_type = row["packet_type"]
     pkt.packet_header = row["packet_header"]
+    pkt.voice = row.get("voice")
     pkt.payload = row["payload"]
     pkt.payload_length = row["payload_length"]
     pkt.payload_header_length = row["payload_header_length"]
@@ -120,6 +121,7 @@ class Sniffer:
             self.fe.packet_symbols(res, hit)
         pkt = ClassicPacket(symbols=symbols, clkn=hit.clkn,
                             channel=hit.channel, snr=hit.snr_db)
+        pkt._lap = hit.lap      # device-computed; skip the host re-derive
         lap = pkt.lap
         self.bus.emit("ac_seen", clkn=hit.clkn, channel=hit.channel,
                       lap=lap, snr_db=hit.snr_db)

@@ -224,8 +224,10 @@ def assemble_fused_snr(oe, pe, *, S: int, slot_ch: int, kappa: float,
     s0 = (pk._TF * t) // slot_ch
     ids = np.minimum(np.stack([s0, s0 + 1], 1).reshape(-1), S)
     vals = oe.transpose(0, 2, 1).reshape(2 * G, -1)
-    on = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=S + 1,
-                             indices_are_sorted=True)
+    # NOT indices_are_sorted: the interleaved [s0, s0+1] pairs are provably
+    # unsorted whenever slot_ch > _TF (e.g. 1250 > 1024 gives [0,1,0,1,..])
+    # and violating the sortedness promise is UB in XLA scatter lowering
+    on = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=S + 1)
     on = on[:S, :C] / slot_ch                              # (S, C)
 
     Tp = -(-taps_len // PROBE_STRIDE) * PROBE_STRIDE

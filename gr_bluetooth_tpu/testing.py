@@ -39,13 +39,14 @@ class PiconetSim:
 
     def packet_bits(self, slot: int, type_code: int = 3,
                     payload: bytes = b"\x01\x02\x03",
-                    fhs: bool = False) -> np.ndarray:
+                    fhs: bool = False, voice: bytes = b"") -> np.ndarray:
         clk = (self.clk0 + slot) & 0x7FFFFFF
         if fhs:
             return packets.encode_fhs_packet(self.lap, self.uap, self.nap,
                                              clock=clk, clk27_value=clk)
         return packets.encode_classic_packet(self.lap, self.uap, clk,
-                                             type_code, payload)
+                                             type_code, payload,
+                                             voice_bytes=voice)
 
 
 def make_piconet_capture(sim: PiconetSim, n_slots: int, fs: float,
@@ -67,10 +68,14 @@ def make_piconet_capture(sim: PiconetSim, n_slots: int, fs: float,
     for slot in tx_slots:
         ch = sim.channel_at(slot)
         if payload_fn is not None:
-            type_code, payload, fhs = payload_fn(slot)
+            spec = payload_fn(slot)
+            type_code, payload, fhs = spec[:3]
+            voice = spec[3] if len(spec) > 3 else b""
         else:
-            type_code, payload, fhs = 3, bytes(rng.integers(0, 256, 9).tolist()), False
-        bits = sim.packet_bits(slot, type_code, payload, fhs=fhs)
+            type_code, payload, fhs, voice = \
+                3, bytes(rng.integers(0, 256, 9).tolist()), False, b""
+        bits = sim.packet_bits(slot, type_code, payload, fhs=fhs,
+                               voice=voice)
         start = slot * spslot + int(rng.integers(0, jitter_symbols)) * sps
         plan.append(synth.PlannedPacket(channel=ch, start_sample=start,
                                         bits=bits))

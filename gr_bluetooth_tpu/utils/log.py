@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import sys
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -32,23 +32,30 @@ def get_logger(name: str) -> logging.Logger:
     return logger
 
 
+HISTORY_CAP = 1 << 16      # bounded: a live sniffer emits ~3 events/packet
+                           # forever; an unbounded list would leak
+
+
 @dataclass
 class EventBus:
     """Tiny synchronous pub/sub for decoded-packet / discovery events."""
     subscribers: dict = field(default_factory=lambda: defaultdict(list))
-    history: list = field(default_factory=list)
+    history: deque = field(default_factory=lambda: deque(maxlen=HISTORY_CAP))
     keep_history: bool = True
 
     def subscribe(self, kind: str, fn: Callable[[dict], Any]):
         self.subscribers[kind].append(fn)
 
     def emit(self, kind: str, **payload):
+        subs = self.subscribers
+        if not (self.keep_history or subs):
+            return                     # hot path: nobody is listening
         ev = {"kind": kind, **payload}
         if self.keep_history:
             self.history.append(ev)
-        for fn in self.subscribers.get(kind, []):
+        for fn in subs.get(kind, []):
             fn(ev)
-        for fn in self.subscribers.get("*", []):
+        for fn in subs.get("*", []):
             fn(ev)
 
     def events(self, kind: str | None = None) -> list:

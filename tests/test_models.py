@@ -435,6 +435,51 @@ def test_sniffer_rf_path_multislot_types():
         assert got == payload, f"{name} payload mismatch"
 
 
+def test_sniffer_rf_path_dv():
+    """DV (type 8) through the full RF pipeline: the 80-bit voice field
+    AND the DM1-style data field both round-trip — 16/16 classic types
+    now transit RF.  The reference only skips the voice bits
+    (lib/packet_impl.cc:783-785); decoding them is added capability."""
+    from gr_bluetooth_tpu.utils.bits import air_to_host
+
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    bank_channels = set(Sniffer(FS, CENTER, enable_le=False).fe.bank.channels)
+    rng = np.random.default_rng(0xD5)
+    voice = bytes(rng.integers(0, 256, 10).tolist())
+    data = bytes(rng.integers(0, 256, 7).tolist())
+    dv_slots = [s for s in range(16, 200, 2)
+                if sim.channel_at(s) in bank_channels][:3]
+    assert dv_slots, "no in-band slots for DV"
+
+    def payload_fn(slot):
+        if slot in dv_slots:
+            return 8, data, False, voice
+        return 3, b"\x01\x02\x03\x04", False
+
+    n_slots = max(dv_slots) + 8
+    samples, _ = make_piconet_capture(sim, n_slots=n_slots, fs=FS,
+                                      center_freq=CENTER, seed=31,
+                                      payload_fn=payload_fn,
+                                      tx_slots=range(0, n_slots - 6, 2))
+    # batched steady-state path (default) AND scalar path must both
+    # carry the voice field
+    for batch in (True, False):
+        mode = Sniffer(FS, CENTER, bus=EventBus(), enable_le=False,
+                       batch_decode=batch)
+        decoded = mode.run(samples)
+        by_slot = {p.clkn: p for p in decoded}
+        for slot in dv_slots:
+            pkt = by_slot.get(slot)
+            assert pkt is not None, f"DV at slot {slot} not decoded"
+            assert pkt.packet_type == 8
+            assert pkt.voice_bytes() == voice, "voice field mismatch"
+            got = bytes(int(air_to_host(pkt.payload[8 + 8 * i:
+                                                    16 + 8 * i]))
+                        for i in range(pkt.payload_length - 3))
+            assert got == data, "DV data field mismatch"
+            assert pkt._payload_crc_ok()
+
+
 def test_hopper_aliased_mode():
     """Aliased (folded-band) receiver: CLK1-27 reversal and live following
     through the 79->25 channel fold (doc/README.aliasing;
