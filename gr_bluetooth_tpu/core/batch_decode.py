@@ -157,29 +157,42 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     hdr_parse_ok = (size >= need_hdr) & (hdr_fec_ok | ~use_fec)
     in_range = hdr_parse_ok & (length <= maxlen) & (length * 8 <= size)
 
-    # payload bits: FEC blocks + direct stream, ragged lengths via masks
-    Lbits = np.where(in_range, length * 8, 0)
+    # payload bits: FEC blocks + direct stream, ragged lengths via masks.
+    # Only the in-range rows run the payload stage — out-of-range rows
+    # exit at "hdr"/"range" before touching it, and at the 64-candidate
+    # UAP attack ~3/4 of the rows are out-of-range garbage whose W-wide
+    # (up to ~2700-bit) gathers/FEC/whitening dominated the first-packet
+    # discovery cost (round-5 profile)
+    s = np.nonzero(in_range)[0]
+    Ks = s.size
+    gs = g[s]
+    offs = off[s]
+    Lbits = length[s] * 8
     need_blocks = (Lbits + 9) // 10
     nb_max = max(int(need_blocks.max(initial=0)), 1)
-    nb_max = min(nb_max, int((bits.shape[1] - off.max()) // 15))
+    nb_max = min(nb_max, int((bits.shape[1] - offs.max()) // 15)) \
+        if Ks else 1
     span = np.arange(nb_max * 15)
-    cw = bits[g[:, None], off[:, None] + span[None, :]]
-    data, okb2 = fec.fec23_decode_blocks(cw.reshape(Kg, nb_max, 15))
+    cw = bits[gs[:, None], offs[:, None] + span[None, :]]
+    data, okb2 = fec.fec23_decode_blocks(cw.reshape(Ks, nb_max, 15))
     blk = np.arange(nb_max)[None, :]
-    fec_all_ok = (okb2 | (blk >= need_blocks[:, None]) |
-                  ~use_fec[:, None]).all(axis=1)
+    fec_ok_s = (okb2 | (blk >= need_blocks[:, None]) |
+                ~use_fec[s][:, None]).all(axis=1)
+    fec_all_ok = np.zeros(Kg, bool)
+    fec_all_ok[s] = fec_ok_s
     W = max(nb_max * 10, min(int(Lbits.max(initial=16)),
-                             int(bits.shape[1] - off.max())), 16)
-    fec_flat = data.reshape(Kg, nb_max * 10)
+                             int(bits.shape[1] - offs.max())
+                             if Ks else 16), 16)
+    fec_flat = data.reshape(Ks, nb_max * 10)
     if fec_flat.shape[1] < W:
         fec_flat = np.pad(fec_flat, ((0, 0), (0, W - fec_flat.shape[1])))
     direct = cw[:, :W] if W <= cw.shape[1] else \
-        bits[g[:, None], off[:, None] + np.arange(W)[None, :]]
-    raw = np.where(use_fec[:, None], fec_flat[:, :W], direct)
-    unw = raw ^ whitening.whitening_word(clocks[g], W, _HDR_SKIP)
+        bits[gs[:, None], offs[:, None] + np.arange(W)[None, :]]
+    raw = np.where(use_fec[s][:, None], fec_flat[:, :W], direct)
+    unw = raw ^ whitening.whitening_word(clocks[gs], W, _HDR_SKIP)
     nbytes_max = W // 8
-    data_bits = np.clip((length - 2) * 8, 0, nbytes_max * 8)
-    crcs = crc.crc16_ragged(unw[:, : nbytes_max * 8], data_bits, uaps[g])
+    data_bits = np.clip((length[s] - 2) * 8, 0, nbytes_max * 8)
+    crcs = crc.crc16_ragged(unw[:, : nbytes_max * 8], data_bits, uaps[gs])
     w16 = (1 << np.arange(16, dtype=np.int64))
 
     # DV voice field: 80 raw air bits at payload start, whitened like the
@@ -197,16 +210,19 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     # received CRC-16 per row, batched: gather each row's trailing 16
     # payload bits at its own length (clipped in-bounds; rows where the
     # CRC does not apply are masked off below)
-    cpos = np.clip((length - 2) * 8, 0, max(unw.shape[1] - 16, 0))
+    cpos = np.clip((length[s] - 2) * 8, 0, max(unw.shape[1] - 16, 0))
     cidx = cpos[:, None] + np.arange(16)[None, :]
     crc_rx = (np.take_along_axis(unw, cidx, axis=1).astype(np.int64)
               * w16).sum(axis=1)
-    has_crc = ~np.isin(t, _NO_CRC_TYPES) & (length >= 2) & \
-        (length <= nbytes_max)
+    has_crc = ~np.isin(t[s], _NO_CRC_TYPES) & (length[s] >= 2) & \
+        (length[s] <= nbytes_max)
     crc_match = crcs == crc_rx
 
     # per-row assembly in pure python over tolist'd columns (numpy scalar
-    # indexing here was ~46 us/pkt at the hostile load, round-5 profile)
+    # indexing here was ~46 us/pkt at the hostile load, round-5 profile);
+    # srow maps a group row to its position in the in-range subset
+    srow = np.full(Kg, -1, np.int64)
+    srow[s] = np.arange(Ks)
     length_l = length.tolist()
     llid_l = llid.tolist()
     flow_l = flow.tolist()
@@ -217,6 +233,7 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     hc_l = has_crc.tolist()
     cm_l = crc_match.tolist()
     g_l = g.tolist()
+    srow_l = srow.tolist()
     for i in range(Kg):
         o = out[g_l[i]]
         if not hp_l[i]:
@@ -235,6 +252,7 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
             o["ok"] = False
             o["fail"] = "payload_fec"
             continue
-        o["payload"] = unw[i, : length_l[i] * 8]
+        j = srow_l[i]
+        o["payload"] = unw[j, : length_l[i] * 8]
         o["ok"] = True
-        o["crc_ok"] = cm_l[i] if hc_l[i] else None
+        o["crc_ok"] = cm_l[j] if hc_l[j] else None

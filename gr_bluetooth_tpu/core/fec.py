@@ -121,6 +121,16 @@ def fec23_decode(bits: np.ndarray, nbits: int):
     bits = np.asarray(bits, dtype=np.uint8)
     nblocks = (nbits + 9) // 10
     need = 15 * nblocks
+    if bits.shape[-1] < need:
+        # short tail (e.g. truncated DV data field at a wrong trial
+        # clock): zero-fill the missing codeword bits — the absent
+        # symbols decode as garbage and almost surely fail the block
+        # check, which is the correct verdict for a truncated stream
+        # (the C reference simply over-reads adjacent memory here,
+        # lib/packet_impl.cc:386-468)
+        pad = need - bits.shape[-1]
+        bits = np.concatenate(
+            [bits, np.zeros(bits.shape[:-1] + (pad,), np.uint8)], axis=-1)
     cw = bits[..., :need].reshape(bits.shape[:-1] + (nblocks, 15))
     data = cw[..., :10].copy()
     par = cw[..., 10:15]

@@ -783,6 +783,91 @@ def encode_le_data(aa: int, index: int, llid: int, payload: bytes,
     return _le_assemble(aa, index, header, payload, crc_init)
 
 
+def _fhs_scores_batch(pkt: ClassicPacket, clocks, uaps) -> list:
+    """crc_check scores for FHS-typed candidates, batched.
+
+    Same decision tree as ClassicPacket._fhs (short -> 1, FEC fail -> 0,
+    any of the [clock, 32..63] whitening retries CRC-ok -> 1000, else 0),
+    but the 33-retry CRC loop per candidate collapses: crc16 is
+    GF(2)-affine, so CRC(row_u, uap_k) = data_term[u] ^ seed[k] — one
+    XOR-broadcast over (candidates x unique retry clocks) instead of
+    |F| x 33 scalar payload_crc_ok calls (the dominant first-packet
+    discovery cost, round-5 profile)."""
+    stream = pkt.symbols[126:]
+    if len(stream) < 240:
+        return [1] * len(clocks)
+    corrected, ok = fec.fec23_decode(stream, 160)
+    if not ok:
+        return [0] * len(clocks)
+    corrected = corrected[:160]
+    cl = np.asarray(clocks, np.int64)
+    if pkt.whitened:
+        uniq = np.unique(np.concatenate([cl, np.arange(32, 64)]))
+        unw = whitening.unwhiten_many(corrected, uniq, _HDR_SKIP)  # (U,160)
+        pos = {int(c): i for i, c in enumerate(uniq)}
+        shared = uniq >= 32                                        # (U,)
+    else:
+        uniq = np.zeros(1, np.int64)
+        unw = np.asarray(corrected, np.uint8)[None]
+        pos = None
+        shared = np.ones(1, bool)
+    data_term = crc.crc16(unw[:, :144], 0).astype(np.int64)        # (U,)
+    check = air_to_host(unw[:, 144:160])                           # (U,)
+    seeds = crc.crc16(np.zeros((1, 144), np.uint8),
+                      np.asarray(uaps)).astype(np.int64)           # (F,)
+    hit = (data_term[None, :] ^ seeds[:, None]) == check[None, :]  # (F, U)
+    any_shared = (hit & shared[None, :]).any(axis=1)
+    out = []
+    for k in range(len(clocks)):
+        own = hit[k, pos[int(cl[k])]] if pos is not None else hit[k, 0]
+        out.append(1000 if (own or any_shared[k]) else 0)
+    return out
+
+
+def _ev4_scores_batch(pkt: ClassicPacket, clocks, uaps) -> list:
+    """crc_check scores for EV4-typed candidates, batched: 10 on a CRC
+    scan hit, else 1 (every 0 branch of ClassicPacket._ev4 is converted
+    to 1 by crc_check for type 12).  Blockwise FEC runs once (clock-
+    independent); unwhiten + byte-length CRC scan vectorize over
+    candidates (lib/packet_impl.cc:915-968)."""
+    E = len(clocks)
+    stream = pkt.symbols[126:]
+    nblocks = min(1470, len(stream)) // 15
+    if nblocks == 0:
+        return [1] * E
+    data, okb = fec.fec23_decode_blocks(
+        stream[: nblocks * 15].reshape(nblocks, 15))
+    fails = np.nonzero(~okb)[0]
+    good = int(fails[0]) if len(fails) else nblocks
+    nbytes = good * 10 // 8
+    if nbytes < 3:
+        return [1] * E
+    raw = data[:good].reshape(-1)
+    if pkt.whitened:
+        unw = whitening.unwhiten_many(raw, np.asarray(clocks), _HDR_SKIP)
+    else:
+        unw = np.broadcast_to(raw, (E, raw.size))
+    states = crc.crc16_states(unw[:, : nbytes * 8],
+                              np.asarray(uaps)).astype(np.int64)
+    w8 = (1 << np.arange(8, dtype=np.int64))
+    b = (unw[:, : nbytes * 8].reshape(E, nbytes, 8).astype(np.int64)
+         * w8).sum(-1)                                             # (E, nbytes)
+    rx16 = b[:, :-1] | (b[:, 1:] << 8)         # rx16[:, ln-2] for ln>=2
+    # scan ln = 3..nbytes  <->  j = ln-2 in 1..nbytes-2
+    hit = (states[:, 1:nbytes - 1] == rx16[:, 1:nbytes - 1]).any(axis=1)
+    return [10 if h else 1 for h in hit.tolist()]
+
+
+def _hv1_score(pkt: ClassicPacket) -> int:
+    """crc_check score for HV1 — candidate-independent: FEC1/3 of the
+    fixed 240-bit voice field either corrects (1) or kills (0)."""
+    stream = pkt.symbols[126:]
+    if len(stream) < 240:
+        return 1
+    _, ok = fec.unfec13(stream[:240])
+    return 1 if ok else 0
+
+
 def crc_check_clocks(pkt: ClassicPacket, clocks, uaps, types) -> list:
     """Vectorized crc_check over candidate CLK1-6 values — the inner loop
     of the UAP attack (lib/piconet_impl.cc:457-496) scored in one batched
@@ -797,21 +882,56 @@ def crc_check_clocks(pkt: ClassicPacket, clocks, uaps, types) -> list:
 
     K = len(clocks)
     n = len(pkt.symbols)
-    # pad generously: wrong-clock candidates decode garbage types/lengths
-    # whose GROUP-wide FEC block count must not get clipped by the matrix
-    # width (that would silently skip the true clock's CRC) — cover the
-    # worst case: DV voice offset 206 + DH5 maxlen 343 bytes of 2/3-FEC
-    sym = np.zeros((K, max(n, 206 + 15 * 280)), np.uint8)
+    # pad so the GROUP-wide FEC block gather can never clip the true
+    # clock's CRC: in_range mirrors the scalar path's `bitlength > size`
+    # cutoff (ClassicPacket._dm), so no candidate decodes more than
+    # size_i data bits whose 2/3-FEC codewords span 1.5*size_i + one
+    # block — 1.5n + 16 covers every row (the round-4 fixed 4406-wide
+    # zero matrix cost ~7x this in alloc+gather for 1-slot packets)
+    sym = np.zeros((K, max(n + (n + 1) // 2 + 16, 236)), np.uint8)
     sym[:, :n] = pkt.symbols[None, :]
     rows = batch_decode.decode_known_rows(
         sym, np.full(K, n), np.asarray(clocks, np.int64),
         np.asarray(uaps, np.int64))
+    # batch the remaining exotic types over their candidate groups: FHS
+    # (whitening-retry CRC), EV4 (byte-length CRC scan), HV1 (candidate-
+    # independent FEC verdict)
+    fhs_ks = [k for k in range(K) if int(types[k]) == 2]
+    ev4_ks = [k for k in range(K) if int(types[k]) == 12]
+    pre: dict[int, int] = {}
+    if fhs_ks:
+        s = _fhs_scores_batch(pkt, [int(clocks[k]) for k in fhs_ks],
+                              [int(uaps[k]) for k in fhs_ks])
+        pre.update(zip(fhs_ks, s))
+    if ev4_ks:
+        s = _ev4_scores_batch(pkt, [int(clocks[k]) for k in ev4_ks],
+                              [int(uaps[k]) for k in ev4_ks])
+        pre.update(zip(ev4_ks, s))
+    hv1 = None
+
     out = []
     for k in range(K):
         t = int(types[k])
         row = rows[k]
         if row is None or row.get("header_failed"):
-            # exotic type (FHS/HV/EV) -> scalar semantics, per candidate
+            if t in (6, 7, 13):
+                # crc_check is CONSTANT 1 for these: HV2's 0/1 collapses
+                # to 1 (0 only kills for FHS/DM1/HV1) and EV3/EV5 winners
+                # are demoted by the false-positive guard
+                # (lib/packet_impl.cc:612-673) — skip the payload decode
+                # entirely (the dominant discovery-mode cost, round-5
+                # profile: _ev_scan over up to 182 bytes per candidate)
+                out.append(1)
+                continue
+            if k in pre:                       # FHS / EV4, batched above
+                out.append(pre[k])
+                continue
+            if t == 5:
+                if hv1 is None:
+                    hv1 = _hv1_score(pkt)
+                out.append(hv1)
+                continue
+            # unexpected exotic type -> scalar semantics, per candidate
             pkt.uap = int(uaps[k])
             pkt.packet_type = t
             out.append(pkt.crc_check(int(clocks[k])))

@@ -94,27 +94,35 @@ class Sniffer:
 
         pre = {}
         if self.batch_decode:
-            rows, clocks, uaps = [], [], []
-            for j, h in enumerate(res.hits):
-                if not hp[j]:
-                    continue
-                pn = self.basic_rate_piconets.get(h.lap)
-                if pn is not None and pn.have_clk6 and pn.have_uap:
-                    clock = (h.clkn + pn.get_offset()) & \
-                        (0x7FFFFFF if pn.have_clk27 else 0x3F)
-                    rows.append(j)
-                    clocks.append(clock)
-                    uaps.append(pn.uap)
-            if rows:
-                rows = np.asarray(rows)
-                results = batch_decode.decode_known_rows(
-                    sym[rows], sizes[rows], np.asarray(clocks),
-                    np.asarray(uaps))
-                for i, j in enumerate(rows):
-                    if results[i] is not None:
-                        pre[int(j)] = (results[i], int(clocks[i]),
-                                       int(uaps[i]))
+            pre = self._batch_rows(res, sym, sizes, hp, range(K))
         return sym, sizes, hp, pre
+
+    def _batch_rows(self, res, sym, sizes, hp, idxs):
+        """core/batch_decode rows for the given hit indices whose piconet
+        is currently in steady state (clock + UAP known)."""
+        rows, clocks, uaps = [], [], []
+        for j in idxs:
+            if not hp[j]:
+                continue
+            h = res.hits[j]
+            pn = self.basic_rate_piconets.get(h.lap)
+            if pn is not None and pn.have_clk6 and pn.have_uap:
+                clock = (h.clkn + pn.get_offset()) & \
+                    (0x7FFFFFF if pn.have_clk27 else 0x3F)
+                rows.append(j)
+                clocks.append(clock)
+                uaps.append(pn.uap)
+        pre = {}
+        if rows:
+            rows = np.asarray(rows)
+            results = batch_decode.decode_known_rows(
+                sym[rows], sizes[rows], np.asarray(clocks),
+                np.asarray(uaps))
+            for i, j in enumerate(rows):
+                if results[i] is not None:
+                    pre[int(j)] = (results[i], int(clocks[i]),
+                                   int(uaps[i]))
+        return pre
 
     def _handle_ac(self, res, hit, sym=None, size=None, hp=None, pre=None):
         symbols = sym[: size] if sym is not None else \
@@ -281,9 +289,26 @@ class Sniffer:
     def run_blocks(self, results):
         for res in results:
             sym, sizes, hp, pre = self._precompute_block(res)
+            # LAPs already in steady state when the block's rows were
+            # precomputed; a piconet turning steady MID-block (discovery
+            # win, FHS harvest) gets its remaining hits batch-precomputed
+            # on the spot — without this, every hit of a newly discovered
+            # piconet in its first block decodes per-packet (the dominant
+            # discovery-mode cost, round-5 profile)
+            steady = {lap for lap, pn in self.basic_rate_piconets.items()
+                      if pn.have_clk6 and pn.have_uap}
             for j, h in enumerate(res.hits):
                 self._handle_ac(res, h, sym=sym[j], size=int(sizes[j]),
                                 hp=hp[j], pre=pre.get(j))
+                if self.batch_decode and h.lap not in steady:
+                    pn = self.basic_rate_piconets.get(h.lap)
+                    if pn is not None and pn.have_clk6 and pn.have_uap:
+                        steady.add(h.lap)
+                        rest = [k for k in range(j + 1, len(res.hits))
+                                if res.hits[k].lap == h.lap]
+                        if rest:
+                            pre.update(self._batch_rows(res, sym, sizes,
+                                                        hp, rest))
             if self.enable_le:
                 self._handle_le(res)
             self.cursor = res.slot_base + res.n_slots

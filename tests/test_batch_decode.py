@@ -12,8 +12,13 @@ LAP, UAP = 0x24D952, 0x47
 
 
 def _mk(type_code, payload=b"", clock=0x2A, corrupt=None):
-    bits = packets.encode_classic_packet(LAP, UAP, clock, type_code,
-                                         payload)
+    if type_code == 2:
+        bits = packets.encode_fhs_packet(LAP, UAP, 0xBEEF, clock=clock,
+                                         clk27_value=0x123456)
+    else:
+        voice = bytes(range(10)) if type_code == 8 else b""
+        bits = packets.encode_classic_packet(LAP, UAP, clock, type_code,
+                                             payload, voice_bytes=voice)
     sym = np.zeros(3200, np.uint8)
     sym[:len(bits)] = bits
     size = len(bits)
@@ -119,7 +124,9 @@ def test_crc_check_clocks_matches_scalar():
                                 (4, b"ABCDEF", None),
                                 (15, bytes(range(100)), None),
                                 (3, b"\x01\x02\x03", "payload_fec"),
-                                (0, b"", None)):
+                                (0, b"", None),
+                                (8, b"dv-data", None),
+                                (2, b"", None)):
         sym, size = _mk(t, payload, clock=0x2A, corrupt=corrupt)
         clocks = np.arange(64)
         base = ClassicPacket(symbols=sym[:size].copy())
