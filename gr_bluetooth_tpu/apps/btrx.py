@@ -21,6 +21,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -49,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "bandwidth of complex floats; the on-the-wire "
                         "analog of the reference's aliasing fidelity/"
                         "coverage trade, doc/README.aliasing)")
+    p.add_argument("--u8", "--rtlsdr", dest="input_u8", action="store_true",
+                   help="input rtl_sdr-style UNSIGNED offset bytes "
+                        "(x = (b - 127.5)/127.5) — pipe `rtl_sdr -f FREQ "
+                        "-s RATE -` straight in (doc/sdr_pipeline.md)")
     p.add_argument("-t", "--snr", type=float, default=10.0,
                    help="SNR squelch threshold in dB (default 10.0)")
     p.add_argument("-w", "--wireshark", action="store_true",
@@ -186,7 +192,8 @@ def _run_source(opts, mode, start_clkn: int) -> int:
                   f"capture file, or an integer-Msps radio rate",
                   file=sys.stderr)
             return 2
-        wire = ("i8" if opts.input_bytes else
+        wire = ("u8" if getattr(opts, "input_u8", False) else
+                "i8" if opts.input_bytes else
                 "i16" if opts.input_shorts else "f32")
         from ..io.ingest import PipelinedIngest, live_chunks
         ingest = PipelinedIngest(fe, wire)
@@ -211,8 +218,16 @@ def _run_source(opts, mode, start_clkn: int) -> int:
                 source.close()
     else:
         from ..io.sources import load_file
-        x = load_file(opts.input_file, opts.input_shorts, nsamples,
-                      opts.input_bytes)
+        if getattr(opts, "input_u8", False):
+            # replayed rtl_sdr recording: same offset-byte conversion as
+            # the stdin path, via numpy (files are not the hot path)
+            raw = np.fromfile(opts.input_file, dtype=np.uint8)
+            if nsamples:
+                raw = raw[: 2 * nsamples]
+            x = (raw.reshape(-1, 2).astype(np.float32).T - 127.5) / 127.5
+        else:
+            x = load_file(opts.input_file, opts.input_shorts, nsamples,
+                          opts.input_bytes)
         mode.run(x, start_clkn=start_clkn)
     return 0
 

@@ -168,7 +168,9 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
     gs = g[s]
     offs = off[s]
     Lbits = length[s] * 8
-    need_blocks = (Lbits + 9) // 10
+    # FEC-block span: only FEC rows consume codeword blocks — a DH-heavy
+    # group must not pay a (K, nb, 15) FEC decode sized by DH lengths
+    need_blocks = np.where(use_fec[s], (Lbits + 9) // 10, 0)
     nb_max = max(int(need_blocks.max(initial=0)), 1)
     nb_max = min(nb_max, int((bits.shape[1] - offs.max()) // 15)) \
         if Ks else 1

@@ -35,11 +35,24 @@ import numpy as np
 
 __all__ = ["PipelinedIngest", "live_chunks", "WIRES", "wire_chunks"]
 
-# wire formats: dtype on the link, scale applied on device
+# wire formats: dtype on the link, scale applied on device.
+# "i4" packs one complex sample per BYTE (I nibble low, Q nibble high,
+# two's-complement 4-bit) — 80 Msps full band at ~0.08 GB/s, the
+# operating point that fits this rig's measured host link (BENCH r3-r5
+# raw_link_gbps ~0.08); unpack/sign-extend happens on device.  NOTE:
+# 4-bit quantization of a strong in-band carrier throws cross-channel
+# intermodulation images at ~20 dB apparent SNR — run the squelch at
+# ~25 dB with this format (bench e2e_operating_points does; a 10 dB
+# squelch lets images through, where their failed decodes trigger the
+# sniffer's clock-loss resets).
 WIRES = {
     "f32": (np.float32, 1.0),
     "i16": (np.int16, 1.0 / 32768.0),
     "i8": (np.int8, 1.0 / 128.0),
+    "i4": (np.uint8, 1.0 / 8.0),
+    # rtl_sdr's unsigned offset bytes (x = (b - 127.5) / 127.5): the
+    # byte stream `rtl_sdr -f ... -` ships, fed straight to the device
+    "u8": (np.uint8, 1.0 / 127.5),
 }
 
 
@@ -73,10 +86,11 @@ class PipelinedIngest:
         # signature mirrors _device_step's, so the compiled program is
         # shared across FrontEnd instances with identical configurations
         self._step = partial(_pipelined_step, **fe._step_kwargs,
-                             wire_scale=float(scale),
+                             wire_scale=float(scale), wire_fmt=wire,
                              overlap=fe.overlap_samples)
         self._zeros = np.zeros((2, fe.overlap_samples), np.float32)
-        self.chunk_shape = (fe.step_samples, 2)
+        self.chunk_shape = (fe.step_samples,) if wire == "i4" else \
+            (fe.step_samples, 2)
 
     def run(self, chunks, start_clkn: int = 0, initial_carry=None,
             bus=None):
@@ -141,7 +155,13 @@ def wire_chunks(samples, fe, wire: str = "f32", pad_tail: bool = False):
     if np.iscomplexobj(samples):
         samples = np.stack([samples.real, samples.imag]).astype(np.float32)
     inter = np.ascontiguousarray(samples.T)    # (N, 2) float pairs
-    if wire != "f32":
+    if wire == "i4":
+        q = np.clip(np.round(inter / scale), -8, 7).astype(np.int8)
+        inter = ((q[:, 0] & 0xF) | ((q[:, 1] & 0xF) << 4)).astype(np.uint8)
+    elif wire == "u8":
+        inter = np.clip(np.round(inter * 127.5 + 127.5), 0,
+                        255).astype(np.uint8)
+    elif wire != "f32":
         lim = {"i16": 32767.0, "i8": 127.0}[wire]
         inter = np.clip(inter / scale, -lim - 1, lim).astype(dtype)
     ov, st = fe.overlap_samples, fe.step_samples
@@ -152,11 +172,25 @@ def wire_chunks(samples, fe, wire: str = "f32", pad_tail: bool = False):
         n_chunks = max(0, (n - ov) // st)
     total = ov + n_chunks * st
     if total > n:
+        pad_shape = (total - n,) if wire == "i4" else (total - n, 2)
         inter = np.concatenate(
-            [inter, np.zeros((total - n, 2), dtype)], axis=0)
-    carry = np.ascontiguousarray(inter[:ov].astype(np.float32).T)
-    if wire != "f32":
-        carry = carry * scale
+            [inter, np.zeros(pad_shape, inter.dtype)], axis=0)
+    if wire == "i4":
+        # carry holds the QUANTIZED values (what the device would have
+        # seen), so block placement and content match the wire pipeline
+        b = inter[:ov].astype(np.int32)
+        i4 = (b & 0xF).astype(np.float32)
+        q4 = ((b >> 4) & 0xF).astype(np.float32)
+        i4 -= 16.0 * (i4 >= 8)
+        q4 -= 16.0 * (q4 >= 8)
+        carry = np.ascontiguousarray(np.stack([i4, q4]) * scale)
+    elif wire == "u8":
+        carry = np.ascontiguousarray(
+            (inter[:ov].astype(np.float32).T - 127.5) * scale)
+    else:
+        carry = np.ascontiguousarray(inter[:ov].astype(np.float32).T)
+        if wire != "f32":
+            carry = carry * scale
 
     def chunks():
         for i in range(n_chunks):

@@ -36,8 +36,10 @@ def load_file(path: str, input_shorts: bool = False,
     return _to_planes(raw)
 
 
-WIRE_ITEMSIZE = {"f32": 8, "i16": 4, "i8": 2}      # bytes per IQ sample
-WIRE_DTYPE = {"f32": np.float32, "i16": np.int16, "i8": np.int8}
+WIRE_ITEMSIZE = {"f32": 8, "i16": 4, "i8": 2,      # bytes per IQ sample
+                 "u8": 2}                          # rtl_sdr offset bytes
+WIRE_DTYPE = {"f32": np.float32, "i16": np.int16, "i8": np.int8,
+              "u8": np.uint8}
 
 
 def stream_stdin_raw(chunk_samples: int, wire: str = "f32",

@@ -154,15 +154,20 @@ class FrontEnd:
         self.le_rows = [(i, ch, freq2index(2402e6 + ch * 1e6))
                         for i, ch in enumerate(b.channels)
                         if freq2index(2402e6 + ch * 1e6) >= 0]
-        # LE hit-table capacity from the false-positive budget: data-channel
-        # detection is exact-match, which random symbols pass at ~2^-9 per
-        # offset (9-bit preamble + header LUTs, lib/packet_impl.cc:1452-1527)
-        # — a busy in-band block must not push true hits out of the table.
-        # Advertising rows (distance<=2) are rarer; 4x margin covers both.
+        # LE hit-table capacity: data-channel detection is exact-match,
+        # which random symbols pass at ~2^-9 per offset (9-bit preamble +
+        # header LUTs, lib/packet_impl.cc:1452-1527), but false positives
+        # only survive the squelch on busy rows/slots, so the worst-case
+        # budget (every LE row busy every offset: ~3100 rows at full
+        # band) is pathological.  Round 4 sized the table to it, which
+        # made the LE extraction top_k and window gather the dominant
+        # sniffer device cost (12.5k-row tables); cap at 512 — overflow
+        # is detected, logged, and counted (assemble_block), and a real
+        # capture that floods 512 LE candidates per block is jamming
         n_data_rows = sum(1 for r in self.le_rows if r[2] < 37) or 1
         fp_budget = n_data_rows * self.n_sym / 512.0
         self.max_le_hits = max_le_hits or max(
-            64, 4 * block_slots, int(4 * fp_budget) + 64)
+            64, 4 * block_slots, min(int(4 * fp_budget) + 64, 512))
 
         consts = dict(
             A68=jnp.asarray(detect._A68), C68v=jnp.asarray(detect._C68v),
@@ -508,8 +513,20 @@ def _extract_hits_packed(hitw, max_hits):
     C, W = hitw.shape
     flatw = hitw.reshape(-1)
     count = jax.lax.population_count(flatw).sum(dtype=jnp.int32)
-    widx = _first_k_indices(flatw, max_hits)       # first hit-words, ordered
-    sel = flatw[widx]                              # (max_hits,) words
+    # superword pre-level: the single top_k over all C*W words was the
+    # extraction's dominant cost (sort over ~108k elements, ~0.11
+    # ms/block in the round-5 trace); selecting 32-word groups first
+    # shrinks both sorts to a few-k domains.  Order (channel-major) is
+    # preserved level by level, as in _extract_hits.
+    SW = 32
+    nsw = -(-flatw.shape[0] // SW)
+    flatp = jnp.pad(flatw, (0, nsw * SW - flatw.shape[0])).reshape(nsw, SW)
+    sidx = _first_k_indices(flatp.any(axis=1), max_hits)
+    wsel = flatp[sidx].reshape(-1)                 # (max_hits*SW,)
+    widx2 = _first_k_indices(wsel, max_hits)
+    widx = sidx[widx2 // SW] * SW + widx2 % SW     # flat word indices
+    widx = jnp.minimum(widx, flatw.shape[0] - 1)
+    sel = wsel[widx2]                              # (max_hits,) words
     sh = jnp.arange(32, dtype=jnp.int32)
     bits = ((sel[:, None] >> sh) & 1).reshape(-1)  # (max_hits*32,)
     bidx = _first_k_indices(bits, max_hits)
@@ -519,18 +536,6 @@ def _extract_hits_packed(hitw, max_hits):
     chan = (idx // nbits).astype(jnp.int32)
     off = (idx % nbits).astype(jnp.int32)
     return count, chan, off, valid
-
-
-def _gather_err_packed(errw, chan, off):
-    """Error counts at sparse hit positions from the kernel's packed
-    counter planes: errw (NB, C, W) bit-sliced binary counters."""
-    w = off // 32
-    b = off % 32
-    sel = errw[:, chan, w]                         # (NB, K)
-    e = jnp.zeros_like(off)
-    for k in range(errw.shape[0]):
-        e = e | (((sel[k] >> b) & 1) << k)
-    return e
 
 
 def _squelch_gate_words(snr_db, word_s0, word_mask_a, squelch):
@@ -585,30 +590,50 @@ def _gather_windows(words, chan, off, valid, width_bits):
     symbol windows, BIT-ALIGNED to each hit's offset (bit b of word j is
     the symbol at off + 32*j + b).
 
-    vmapped dynamic_slice => one XLA gather of K *contiguous word rows*
-    (slice_sizes=(1, ww)) instead of K*ww scalar gathers.  Word (not
-    byte) rows: the uint8 form gathered 4x the elements, unaligned, and
-    cost ~0.45 ms/block on v5e (round-4 profile) vs ~0.1 for words.  The
-    off%32 sub-word alignment shift happens HERE, on device (a K x ww
-    funnel shift — VPU noise): round-4 shipped word-aligned rows and the
-    host's per-row shift gather (take_along_axis over K x 3200) was the
-    second-largest host cost at the hostile load (round-5 profile)."""
+    TPU has exactly one gather it lowers well: whole 128-lane-aligned
+    rows by index (embedding style).  Every dynamic-start formulation —
+    vmapped dynamic_slice, explicit lax.gather of (1, ww) slices, flat
+    element gathers — lowers to a K-iteration sequential while loop of
+    dynamic-slices (~0.43 ms/block at K=512, the largest non-kernel cost
+    in the round-5 trace), and a Pallas per-row-DMA kernel pays ~1 us of
+    issue overhead per row (measured worse).  So: view the word plane as
+    128-word chunks, gather the 2 chunks covering each window (one
+    aligned row gather), then align with a 7-stage barrel shift (word
+    residual, vectorized selects) + funnel shift (bit residual) — no
+    per-row ops anywhere.  The off%32 alignment happening on device also
+    kills the host's round-4 per-row shift gather (take_along_axis over
+    K x 3200, the second-largest hostile-load host cost)."""
     C, nw = words.shape
     ww = width_bits // 32 + 1
-    padded = jnp.pad(words, ((0, 1), (0, ww)))     # row C = zeros (invalid)
-    c = jnp.where(valid, chan, C).astype(jnp.int32)
-    o = jnp.clip(off // 32, 0, nw - 1).astype(jnp.int32)
-    win = jax.vmap(
-        lambda ci, oi: jax.lax.dynamic_slice(padded, (ci, oi), (1, ww))[0]
-    )(c, o)
-    # funnel shift: aligned[j] = (w[j] >> s) | (w[j+1] << (32-s)), s=off%32
-    u = win.astype(jnp.uint32)
-    s = (off % 32).astype(jnp.uint32)[:, None]
-    nxt = jnp.concatenate([u[:, 1:], jnp.zeros_like(u[:, :1])], axis=1)
+    if ww + 127 > 256:
+        raise ValueError(f"window wider than one chunk pair: {ww}")
+    NC = (nw - 1) // 128 + 2           # chunks per row (ch0+1 in range)
+    padded = jnp.pad(words, ((0, 1), (0, NC * 128 - nw)))
+    table = padded.reshape((C + 1) * NC, 128)
+    K = chan.shape[0]
+    c = jnp.where(valid, jnp.clip(chan, 0, C - 1), C).astype(jnp.int32)
+    ow = jnp.clip(off // 32, 0, nw - 1).astype(jnp.int32)
+    ch0 = c * NC + ow // 128
+    rows = jnp.take(table, jnp.stack([ch0, ch0 + 1], 1).reshape(-1),
+                    axis=0).reshape(K, 256)
+    # barrel shift by the word residual sw in [0, 128)
+    sw = (ow % 128)[:, None]
+    u = rows
+    for k in range(6, -1, -1):
+        amt = 1 << k
+        shifted = jnp.concatenate(
+            [u[:, amt:], jnp.zeros((K, amt), u.dtype)], axis=1)
+        u = jnp.where((sw & amt) > 0, shifted, u)
+    # funnel shift by the bit residual s in [0, 32)
+    u = jax.lax.bitcast_convert_type(u[:, :ww + 1], jnp.uint32)
+    s = jnp.where(valid, off % 32, 0).astype(jnp.uint32)[:, None]
+    nxt = jnp.concatenate(
+        [u[:, 1:ww], jnp.zeros((K, 1), jnp.uint32)], axis=1)
+    u = u[:, :ww]
     lo = jax.lax.shift_right_logical(u, jnp.broadcast_to(s, u.shape))
     hi = jax.lax.shift_left(nxt, jnp.broadcast_to((32 - s) % 32, u.shape))
-    hi = jnp.where(s > 0, hi, 0)
-    return (lo | hi).astype(jnp.int32)
+    hi = jnp.where(s > 0, hi, jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(lo | hi, jnp.int32)
 
 
 def _squelch_gate(snr_db, n, delay_sym, squelch):
@@ -640,9 +665,23 @@ def _device_step(x_ri, *, A68, C68v,
                  slot_len, slot_ch, kappa, max_ac_errors, delay_sym, squelch,
                  max_hits, max_le_hits, with_le, use_pallas=False):
     staged = x_ri.ndim == 3
+    words_fused = None
     if is_pfb:
         # streams carry one extra probe row above the top channel
-        if staged:
+        if staged and use_pallas:
+            # round-5 megakernel: channelize + SNR partials + demod +
+            # timing + slicer + word-pack in ONE pass — the y streams
+            # never reach HBM (the round-4 PFB-write/demod-read boundary
+            # was most of the remaining roofline gap)
+            words_fused, oe, pe = pfb_kernel.pfb_channelize_snr_demod_fused(
+                x_ri, h0, h1, dft_c, dft_s, bin_odd, decim,
+                probe_mr, probe_mi, slot_ch, demod_gain, n_sym)
+            S = n_y // slot_ch
+            snr_db = snr.assemble_fused_snr(
+                oe, pe, S=S, slot_ch=slot_ch, kappa=kappa,
+                C=dft_c.shape[1] - 1, taps_len=probe_re.shape[0])
+            yr = yi = yr_f = yi_f = None
+        elif staged:
             # fused channelize + SNR partials: the y stream is written
             # once and never re-read for the squelch
             yr_f, yi_f, oe, pe = pfb._pfb_snr_impl(
@@ -672,7 +711,12 @@ def _device_step(x_ri, *, A68, C68v,
         # end — squelch AND, sparse extraction, LAP, and window gather
         # all run on word planes, so neither the dense (C, n_sym) bit
         # plane nor the (C, n) gate/err tensors round-trip HBM
-        if staged:
+        if words_fused is not None:
+            # megakernel already produced the packed planes; drop the
+            # probe row (the stream's last row)
+            words = words_fused[:-1]
+            bits = None
+        elif staged:
             # fused demod+timing+slicer+pack over the unsliced streams
             # (the trailing zero tile feeds its window lookahead)
             from ..ops import demod_kernel
@@ -689,8 +733,24 @@ def _device_step(x_ri, *, A68, C68v,
             hitw = hitw & _squelch_gate_words(snr_db, word_s0, word_mask_a,
                                               squelch)
         n_hits, chan, off, valid = _extract_hits_packed(hitw, max_hits)
-        err = _gather_err_packed(errw, chan, off)
-        lap_raw = detect.lap_from_words(words, chan, off)
+        # windows are gathered bit-ALIGNED to each hit, so the LAP and
+        # the AC error count are functions of the window itself — no
+        # separate per-hit gathers from the word/err planes (their
+        # vmapped 2-word slices were ~0.12 ms/block, round-5 trace):
+        # LAP = symbols off+38..61 = window word 1 bits 6..29; err =
+        # hamming(window[0:68], affine AC regenerated from those LAP
+        # bits) — the same A68/C68v map the dense detector uses
+        windows = _gather_windows(words, chan, off, valid, WIN_SYMBOLS)
+        wu = jax.lax.bitcast_convert_type(windows[:, :3], jnp.uint32)
+        lap_raw = jax.lax.shift_right_logical(
+            wu[:, 1], jnp.uint32(6)).astype(jnp.int32) & 0xFFFFFF
+        sh = jnp.arange(32, dtype=jnp.uint32)
+        b96 = ((wu[:, :, None] >> sh[None, None, :]) & 1)
+        bits68 = b96.reshape(-1, 96)[:, :68].astype(jnp.float32)
+        pred = bits68[:, 38:62] @ A68.T.astype(jnp.float32) + C68v[None, :]
+        pred = pred - 2.0 * jnp.floor(pred * 0.5)
+        err = (bits68 + pred - 2.0 * bits68 * pred).sum(
+            axis=1).astype(jnp.int32)
     else:
         d = demod.quadrature_demod(yr, yi, demod_gain)
         _, bits = demod.recover_symbols(d, ch_sps, n_sym)
@@ -703,11 +763,11 @@ def _device_step(x_ri, *, A68, C68v,
         err = tab[:, 2]
         words = detect_pallas.pack_bits_words(bits)
         lap_raw = detect.lap_at(bits, chan, off)
+        windows = _gather_windows(words, chan, off, valid, WIN_SYMBOLS)
     lap = jnp.where(valid, lap_raw, -1)
     neg = jnp.int32(-1)
     tab = jnp.stack([jnp.where(valid, chan, neg), jnp.where(valid, off, neg),
                      lap, jnp.where(valid, err, neg)], axis=1)
-    windows = _gather_windows(words, chan, off, valid, WIN_SYMBOLS)
 
     if with_le:
         if bits is None:
@@ -732,8 +792,9 @@ def _device_step(x_ri, *, A68, C68v,
     "is_pfb", "decim", "sps", "ch_sps", "demod_gain", "n_sym", "n_y",
     "slot_len", "slot_ch", "kappa", "max_ac_errors", "delay_sym", "squelch",
     "max_hits", "max_le_hits", "with_le", "use_pallas", "wire_scale",
-    "overlap"))
-def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
+    "wire_fmt", "overlap"))
+def _pipelined_step(carry, new, *, wire_scale, wire_fmt="f32", overlap,
+                    A68, C68v,
                     h0=None, h1=None, dft_c=None, dft_s=None, bin_odd=None,
                     probe_re=None, probe_im=None, probe_mr=None,
                     probe_mi=None,
@@ -755,9 +816,22 @@ def _pipelined_step(carry, new, *, wire_scale, overlap, A68, C68v,
     short->complex converter this replaces).  Signature mirrors
     _device_step so compiled programs are shared across FrontEnd
     instances with identical configurations."""
-    x = new.astype(jnp.float32).T
-    if wire_scale != 1.0:
-        x = x * wire_scale
+    if wire_fmt == "i4":
+        # one byte per complex sample: I nibble low, Q nibble high,
+        # two's-complement 4-bit — unpack + sign-extend on device
+        b = new.astype(jnp.int32)                  # (N,)
+        i4 = (b & 0xF).astype(jnp.float32)
+        q4 = ((b >> 4) & 0xF).astype(jnp.float32)
+        i4 = i4 - 16.0 * (i4 >= 8)
+        q4 = q4 - 16.0 * (q4 >= 8)
+        x = jnp.stack([i4, q4]) * wire_scale
+    elif wire_fmt == "u8":
+        # rtl_sdr offset bytes: x = (b - 127.5) / 127.5, on device
+        x = (new.astype(jnp.float32).T - 127.5) * wire_scale
+    else:
+        x = new.astype(jnp.float32).T
+        if wire_scale != 1.0:
+            x = x * wire_scale
     xb = jnp.concatenate([carry, x], axis=1)
     if use_pallas and is_pfb:
         # stage on device so the step takes the fused-kernel fast path

@@ -145,13 +145,17 @@ def _kernel(yr_hbm, yi_hbm, pe, po, plo, phi, out_ref, xs, sem,
     me = even & valid
     mo = jnp.logical_not(even) & valid
 
-    # metrics for the 16 phase hypotheses: f = (p%8)/8, parity p//8
+    # metrics for the 16 phase hypotheses: f = (p%8)/8, parity p//8;
+    # the interpolated magnitudes depend only on f — compute each once
+    # and reuse for both parity masks (identical values, half the
+    # interp+abs passes)
+    us = [jnp.abs(d * (1.0 - p8 / 8.0) + d1 * (p8 / 8.0))
+          for p8 in range(8)]
     cols = []
     for mask in (me, mo):
         for p8 in range(8):
-            f = p8 / 8.0
-            u = jnp.abs(d * (1.0 - f) + d1 * f)
-            cols.append(jnp.where(mask, u, 0.0).sum(axis=1, keepdims=True))
+            cols.append(jnp.where(mask, us[p8], 0.0)
+                        .sum(axis=1, keepdims=True))
 
     # first-max scan == argmax semantics (strict > keeps earliest max)
     bestv = cols[0]

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pfb_channelize_fused", "pfb_channelize_snr_fused",
+           "pfb_channelize_snr_demod_fused",
            "staged_geometry", "stage_host", "probe_phase_matrices"]
 
 _TF = 1024                     # output frames per tile (multiple of 128)
@@ -87,15 +88,18 @@ def stage_host(x: np.ndarray, D: int, Q: int) -> np.ndarray:
 
 def probe_phase_matrices(taps_re, taps_im):
     """(5, Wy, _PC) tap matrices for the in-kernel SNR probe, Wy = wide
-    per-tile frame count (8-aligned, sized to fit the last window).
+    per-tile frame count (8-aligned, sized to fit the last window AND the
+    fused demod's 1152-frame window — pfb_channelize_snr_demod_fused
+    consumes the wide y tile directly, so Wy >= demod_kernel._WL).
 
     Probe windows sit on the global 40-sample grid; a 1024-frame tile's
     first window offset cycles with period 5 (1024*5 % 40 == 0), so five
     matrices cover every tile: PR[phi, l, j] places the band-pass taps at
     local offset ((-1024*phi) % 40) + 40*j.  Columns j >= 26 (and any
     off-tile tails) are masked by the XLA-side assembly."""
+    from .demod_kernel import _WL as _DEMOD_WL
     T = len(taps_re)
-    Wy = -(-(36 + 40 * 25 + T) // 8) * 8
+    Wy = max(-(-(36 + 40 * 25 + T) // 8) * 8, _DEMOD_WL)
     PR = np.zeros((5, Wy, _PC), np.float32)
     PI = np.zeros((5, Wy, _PC), np.float32)
     for phi in range(5):
@@ -431,3 +435,260 @@ def pfb_channelize_snr_fused(x3, h0, h1, dft_c, dft_s, bin_odd, D: int,
         interpret=interpret,
     )(x3, h0, h1, cm0, cm1, sm0, sm1, sign_w, probe_mr, probe_mi)
     return yr, yi, oe, pe
+
+
+def _kernel_snr_demod(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
+                      pkm_e, pkm_o, pkm_lo, pkm_hi,
+                      words_out, oe_out, pe_out, xs, sem,
+                      *, Q: int, n_data: int, slot_ch: int, gain: float,
+                      n_sym: int):
+    """The round-5 megakernel: channelize + SNR partials + GFSK demod +
+    feedforward timing + slicer + word-pack, one pass per 1024-frame tile.
+
+    Same FIR/DFT/rotator/SNR body as _kernel_snr, but the wide y tile
+    (TFW >= demod_kernel._WL frames) is consumed by the demod body RIGHT
+    HERE in VMEM and only the packed (C, 16) word tile leaves the chip —
+    the y streams (the round-4 pipeline's largest remaining HBM tensors:
+    one full write by the PFB kernel + one full read by the demod kernel,
+    ~110 MB/block at full band) never exist.  Demod math is copied
+    verbatim from demod_kernel._kernel so outputs stay bit-exact."""
+    from .demod_kernel import _GROUP, _NPH, _WL, atan2_poly
+
+    i = pl.program_id(0)
+    TF = _TF
+    TFW = pr.shape[1]
+    W = TF + _LOOKAHEAD
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def window_copy(tile, dst_slot):
+        return pltpu.make_async_copy(
+            xv_hbm.at[:, pl.ds(tile * TF, W), :],
+            xs.at[dst_slot], sem.at[dst_slot])
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(jnp.logical_and(i + 1 < n_data, i + 1 < pl.num_programs(0)))
+    def _():
+        window_copy(i + 1, nxt).start()
+
+    @pl.when(i >= n_data)
+    def _():
+        # zero y: the demod of an all-zero tile slices every bit to 1
+        # (0 >= 0), exactly what demod_kernel produced from the staged
+        # trailing zero tile — keep that bit pattern for parity
+        words_out[0] = jnp.full_like(words_out[0], -1)
+        oe_out[...] = jnp.zeros_like(oe_out)
+        pe_out[...] = jnp.zeros_like(pe_out)
+
+    @pl.when(i < n_data)
+    def _():
+        window_copy(i, slot).wait()
+
+        LD = xs.shape[3]
+        h0v, h1v = h0[...], h1[...]                # (Q, LD)
+        v0, v1 = [], []
+        for p in range(2):
+            a0 = jnp.zeros((TFW, LD), jnp.float32)
+            a1 = jnp.zeros((TFW, LD), jnp.float32)
+            for q in range(Q):
+                a0 = a0 + xs[slot, p, pl.ds(2 * q, TFW), :] * \
+                    h0v[q][None, :]
+                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TFW), :] * \
+                    h1v[q][None, :]
+            v0.append(a0)
+            v1.append(a1)
+
+        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
+
+        def dft(m0, m1):
+            return (jax.lax.dot_general(m0, v0[0], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[0], ddn,
+                                          preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(m0, v0[1], ddn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(m1, v1[1], ddn,
+                                          preferred_element_type=jnp.float32))
+
+        cr, ci = dft(cm0[...], cm1[...])           # (C, TFW)
+        sr, si = dft(sm0[...], sm1[...])
+        ywr = (cr + si) * sign_w[...]              # rotated wide streams
+        ywi = (ci - sr) * sign_w[...]
+
+        # ---- SNR partials (identical to _kernel_snr) ----
+        e = ywr[:, :TF] ** 2 + ywi[:, :TF] ** 2
+        s0 = (TF * i) // slot_ch
+        b = slot_ch * (s0 + 1) - TF * i
+        lane_tf = jax.lax.broadcasted_iota(jnp.int32, (1, TF), 1)
+        m0 = lane_tf < b
+        oe0 = jnp.where(m0, e, 0.0).sum(axis=1, keepdims=True)
+        oe1 = jnp.where(m0, 0.0, e).sum(axis=1, keepdims=True)
+        oe_out[0] = jnp.concatenate([oe0, oe1], axis=1)
+
+        nn = (((1,), (0,)), ((), ()))
+        prm, pim = pr[0], pi[0]                    # (TFW, _PC), this phase
+        rr = jax.lax.dot_general(ywr, prm, nn,
+                                 preferred_element_type=jnp.float32)
+        ri = jax.lax.dot_general(ywr, pim, nn,
+                                 preferred_element_type=jnp.float32)
+        ir = jax.lax.dot_general(ywi, prm, nn,
+                                 preferred_element_type=jnp.float32)
+        ii = jax.lax.dot_general(ywi, pim, nn,
+                                 preferred_element_type=jnp.float32)
+        p_re = rr - ii
+        p_im = ri + ir
+        pe_out[0] = p_re ** 2 + p_im ** 2
+
+        # ---- demod + timing + slicer + pack (demod_kernel._kernel) ----
+        wr = ywr[:, :_WL]                          # (C, _WL) window
+        wi = ywi[:, :_WL]
+        C = wr.shape[0]
+        wr1 = jnp.roll(wr, -1, axis=1)             # y[j+1] (tail garbage ok)
+        wi1 = jnp.roll(wi, -1, axis=1)
+        pr_ = wr1 * wr + wi1 * wi
+        pi_ = wi1 * wr - wr1 * wi
+        d = gain * atan2_poly(pi_, pr_)            # d[j], valid j < _WL-1
+        d1 = jnp.roll(d, -1, axis=1)               # d[j+1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _WL), 1)
+        even = (lane & 1) == 0
+        nvalid = jnp.clip(n_sym - i * _GROUP, 0, _GROUP)
+        valid = lane < 2 * nvalid
+        me = even & valid
+        mo = jnp.logical_not(even) & valid
+
+        us = [jnp.abs(d * (1.0 - p8 / 8.0) + d1 * (p8 / 8.0))
+              for p8 in range(8)]
+        cols = []
+        for mask in (me, mo):
+            for p8 in range(8):
+                cols.append(jnp.where(mask, us[p8], 0.0)
+                            .sum(axis=1, keepdims=True))
+
+        bestv = cols[0]
+        besti = jnp.zeros((C, 1), jnp.int32)
+        for p in range(1, _NPH):
+            upd = cols[p] > bestv
+            bestv = jnp.where(upd, cols[p], bestv)
+            besti = jnp.where(upd, jnp.int32(p), besti)
+
+        fb = (besti % 8).astype(jnp.float32) / 8.0
+        par_odd = besti >= 8
+        soft_all = d * (1.0 - fb) + d1 * fb
+        bits_all = (soft_all >= 0).astype(jnp.float32)
+
+        be = jnp.dot(bits_all, pkm_e[...],
+                     preferred_element_type=jnp.float32)
+        bo = jnp.dot(bits_all, pkm_o[...],
+                     preferred_element_type=jnp.float32)
+        by = jnp.where(par_odd, bo, be)
+        lo = jnp.dot(by, pkm_lo[...], preferred_element_type=jnp.float32)
+        hi = jnp.dot(by, pkm_hi[...], preferred_element_type=jnp.float32)
+        words_out[0] = (lo.astype(jnp.int32) |
+                        (hi.astype(jnp.int32) << 16))
+
+
+@partial(jax.jit, static_argnames=("D", "slot_ch", "gain", "n_sym",
+                                   "interpret"))
+def pfb_channelize_snr_demod_fused(x3, h0, h1, dft_c, dft_s, bin_odd,
+                                   D: int, probe_mr, probe_mi,
+                                   slot_ch: int, gain: float, n_sym: int,
+                                   interpret: bool | None = None):
+    """Staged (2, F, _LD) input -> (words, oe, pe):
+    words (C, ceil(n_sym/32)) int32 packed symbol planes (all C rows incl.
+    the probe row — the caller drops it), oe/pe as
+    pfb_channelize_snr_fused.  Bit-exact with
+    demod_timing_pack(pfb_channelize_snr_fused(...)) — the y streams
+    simply never leave VMEM."""
+    from .demod_kernel import _GROUP, _WL, _WPT, _pack_consts
+    from .detect_pallas import _resolve_interpret
+    interpret = _resolve_interpret(interpret)
+
+    Q = h0.shape[0]
+    TFW = probe_mr.shape[1]
+    if TFW < _WL:
+        raise ValueError(f"wide tile too narrow for the fused demod: "
+                         f"{TFW} < {_WL}")
+    if 2 * Q > _TF + _LOOKAHEAD - TFW:
+        raise ValueError(f"prototype too long for the wide tile: "
+                         f"2Q={2 * Q} > {_TF + _LOOKAHEAD - TFW}")
+    C = dft_c.shape[1]
+    C_p = -(-C // 8) * 8
+    LD = max(_LD, -(-D // 128) * 128)
+    if x3.ndim != 3 or x3.shape[2] != LD:
+        raise ValueError("pfb_channelize_snr_demod_fused requires staged "
+                         "input")
+    n_tiles = (x3.shape[1] - _LOOKAHEAD) // _TF
+    n_t_sym = -(-n_sym // _GROUP)
+    grid_tiles = max(n_tiles, n_t_sym)
+
+    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
+    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
+    cm = jnp.asarray(dft_c).T
+    sm = jnp.asarray(dft_s).T
+    # pad the channel axis to a sublane multiple so every (C, ...) tile
+    # and the word output block satisfy Mosaic's alignment; padded rows
+    # produce zero streams and are sliced off below
+    cm0 = jnp.pad(cm[:, :D], ((0, C_p - C), (0, LD - D)))
+    cm1 = jnp.pad(cm[:, D:], ((0, C_p - C), (0, LD - D)))
+    sm0 = jnp.pad(sm[:, :D], ((0, C_p - C), (0, LD - D)))
+    sm1 = jnp.pad(sm[:, D:], ((0, C_p - C), (0, LD - D)))
+
+    parity = jnp.asarray((np.arange(TFW) & 1).astype(np.float32))
+    bo = jnp.pad(jnp.asarray(bin_odd), (0, C_p - C))
+    sign_w = 1.0 - 2.0 * (bo[:, None] * parity[None, :])
+
+    pkm_e, pkm_o, pkm_lo, pkm_hi = (jnp.asarray(m) for m in _pack_consts())
+
+    W = _TF + _LOOKAHEAD
+    words, oe, pe = pl.pallas_call(
+        partial(_kernel_snr_demod, Q=Q, n_data=n_tiles, slot_ch=slot_ch,
+                gain=float(gain), n_sym=n_sym),
+        grid=(grid_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # cos, lo half
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # cos, hi half
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # sin, lo half
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # sin, hi half
+            pl.BlockSpec((C_p, TFW), lambda i: (0, 0)),      # sign (wide)
+            pl.BlockSpec((1, TFW, _PC),
+                         lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe re
+            pl.BlockSpec((1, TFW, _PC),
+                         lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe im
+            pl.BlockSpec((_WL, _WPT * 4), lambda i: (0, 0)),     # pack even
+            pl.BlockSpec((_WL, _WPT * 4), lambda i: (0, 0)),     # pack odd
+            pl.BlockSpec((_WPT * 4, _WPT), lambda i: (0, 0)),    # pack lo
+            pl.BlockSpec((_WPT * 4, _WPT), lambda i: (0, 0)),    # pack hi
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C_p, _WPT), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, C_p, 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, C_p, _PC), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_tiles, C_p, _WPT), jnp.int32),
+            jax.ShapeDtypeStruct((grid_tiles, C_p, 2), jnp.float32),
+            jax.ShapeDtypeStruct((grid_tiles, C_p, _PC), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, W, LD), jnp.float32),          # window slots
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x3, h0, h1, cm0, cm1, sm0, sm1, sign_w, probe_mr, probe_mi,
+      pkm_e, pkm_o, pkm_lo, pkm_hi)
+
+    wordsf = words.transpose(1, 0, 2).reshape(C_p, grid_tiles * _WPT)
+    nw = -(-n_sym // 32)
+    wordsf = wordsf[:C, :nw]
+    if n_sym % 32:
+        tail = np.full(nw, -1, np.int64)
+        tail[-1] = (1 << (n_sym % 32)) - 1
+        wordsf = wordsf & jnp.asarray(tail.astype(np.uint32).view(np.int32))
+    return wordsf, oe[:, :C], pe[:, :C]

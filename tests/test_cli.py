@@ -76,3 +76,22 @@ def test_cli_checkpoint_resume_stats(capture_file, tmp_path):
                    "--no-le", "--resume", ck])
     assert r2.returncode == 0, r2.stderr.decode()[-500:]
     assert b"resumed from" in r2.stderr
+
+
+def test_stdin_u8_byte_path():
+    """SDR-in-the-loop smoke (doc/sdr_pipeline.md): a synthetic capture
+    converted to rtl_sdr's unsigned offset-byte stream, piped through the
+    SAME byte path a real `rtl_sdr ... - | btrx -i - --u8` pipeline uses,
+    surveys the planted LAP."""
+    from gr_bluetooth_tpu.testing import PiconetSim, make_piconet_capture
+    sim = PiconetSim(lap=0x24D952, uap=0x47, clk0=0x12780)
+    x, _ = make_piconet_capture(sim, n_slots=96, fs=4e6,
+                                center_freq=2441e6, seed=21,
+                                noise_std=0.02)
+    inter = np.stack([x.real, x.imag], axis=1).reshape(-1)
+    u8 = np.clip(np.round(inter * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    r = run_btrx(["-r", "4e6", "-f", "2441e6", "-i", "-", "--u8"],
+                 stdin=u8.tobytes())
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert b"24d952" in r.stdout + r.stderr, \
+        (r.stdout + r.stderr).decode()[-800:]

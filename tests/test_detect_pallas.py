@@ -149,11 +149,17 @@ def test_frontend_packed_path_parity():
     assert len(dense) == len(packed)
     n_hits = 0
     for rd, rp in zip(dense, packed):
-        kd = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors, h.snr_db)
+        kd = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors)
               for h in rd.hits]
-        kp = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors, h.snr_db)
+        kp = [(h.channel, h.clkn, h.sym_offset, h.lap, h.errors)
               for h in rp.hits]
         assert kd == kp
+        # SNR to fp tolerance: the packed path's megakernel computes the
+        # slot-energy partials in-kernel with a different (tile-wise)
+        # reduction order than the dense path's XLA mirror
+        sd = np.array([h.snr_db for h in rd.hits])
+        sp = np.array([h.snr_db for h in rp.hits])
+        assert np.allclose(sd, sp, atol=1e-3)
         n_hits += len(kd)
         for hd, hp in zip(rd.hits, rp.hits):
             wd = fe_dense.packet_symbols(rd, hd)

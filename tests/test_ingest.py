@@ -199,8 +199,32 @@ def test_wire_format_snr_sweep_parity():
         want = {(s, c) for s, c, _ in sent if c in bank and s >= 1}
         r16 = recall(samples, "i16") & want
         r8 = recall(samples, "i8") & want
+        r4 = recall(samples, "i4") & want
         # int16 == float32 recall is covered by test_int16_wire_parity;
-        # here: int8 loses at most one packet relative to int16
+        # here: int8 loses at most one packet relative to int16, int4 at
+        # most two (its ~28 dB quantization floor is still far above the
+        # GFSK detection threshold at capture-quality SNR)
         assert len(r8) >= len(r16) - 1, (noise_std, len(r16), len(r8))
+        assert len(r4) >= len(r16) - 2, (noise_std, len(r16), len(r4))
         if noise_std <= 0.05:
-            assert r16 == want and r8 == want
+            assert r16 == want and r8 == want and r4 == want
+
+
+def test_int4_wire_decodes_payloads():
+    """The int4 packed wire format (one byte per complex sample — the
+    full-band operating point that fits a ~0.08 GB/s host link) carries
+    enough fidelity for END-TO-END decode: every planted packet's
+    payload CRC-verifies through the full Sniffer at capture-quality
+    SNR."""
+    sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
+    samples, sent = make_piconet_capture(sim, n_slots=64, fs=FS,
+                                         center_freq=CENTER, seed=9,
+                                         noise_std=0.05)
+    sn = Sniffer(FS, CENTER, block_slots=8, enable_le=False,
+                 bus=EventBus())
+    decoded = sn.run_blocks(sn.fe.stream(samples, wire="i4"))
+    bank = set(sn.fe.bank.channels)
+    want = {(s, c) for s, c, _ in sent if c in bank and s >= 1}
+    got = {(p.clkn, p.channel) for p in decoded}
+    assert want <= got, want - got
+    assert all(p.uap == UAP for p in decoded)

@@ -83,8 +83,13 @@ def test_le_hit_table_overflow_reported(caplog):
 
 def test_le_table_sized_from_fp_budget():
     """Default LE table capacity covers the exact-match false-positive
-    expectation (rows x offsets x 2^-9) with margin."""
+    expectation (rows x offsets x 2^-9) with margin, CAPPED at 512 —
+    round 4's uncapped budget reached 12.5k rows at full band, making
+    the LE extraction top_k and window gather the dominant device cost;
+    beyond-cap floods are detected, counted, and logged instead
+    (assemble_block + metrics 'le_hits_dropped')."""
     fe = FrontEnd(FS, CENTER, block_slots=64, enable_le=True)
     n_data_rows = sum(1 for r in fe.le_rows if r[2] < 37)
     fp = n_data_rows * fe.n_sym / 512.0
-    assert fe.max_le_hits >= 4 * fp
+    assert fe.max_le_hits >= min(4 * fp, 512)
+    assert fe.max_le_hits <= 1024

@@ -99,6 +99,45 @@ def test_snr_fused_kernel_matches_mirror():
     assert np.allclose(gv, rv, atol=1e-3, rtol=1e-3), np.abs(gv - rv).max()
 
 
+def test_snr_demod_megakernel_matches_two_kernel_path():
+    """pfb_channelize_snr_demod_fused (interpret) == the two-kernel
+    round-4 path (pfb_channelize_snr_fused -> demod_timing_pack): packed
+    words bit-exact, oe/pe identical — the y streams just never exist."""
+    from gr_bluetooth_tpu.ops import demod_kernel
+
+    fe = _fe()
+    b = fe.bank
+    sc = fe.snr_consts
+    x, _ = _capture(fe, n_blocks=1)
+    x3 = jnp.asarray(fe.stage_block(x[:, : fe.block_samples]))
+    pmr, pmi = pfb_kernel.probe_phase_matrices(sc.taps_re, sc.taps_im)
+    n_sym = fe.n_sym
+
+    yr, yi, oe0, pe0 = pfb_kernel.pfb_channelize_snr_fused(
+        x3, jnp.asarray(b.h0), jnp.asarray(b.h1), jnp.asarray(b.dft_c),
+        jnp.asarray(b.dft_s), jnp.asarray(b.bin_odd), b.decim,
+        jnp.asarray(pmr), jnp.asarray(pmi), sc.slot_ch, interpret=True)
+    words0 = demod_kernel.demod_timing_pack(yr, yi, b.demod_gain, n_sym,
+                                            interpret=True)
+
+    words1, oe1, pe1 = pfb_kernel.pfb_channelize_snr_demod_fused(
+        x3, jnp.asarray(b.h0), jnp.asarray(b.h1), jnp.asarray(b.dft_c),
+        jnp.asarray(b.dft_s), jnp.asarray(b.bin_odd), b.decim,
+        jnp.asarray(pmr), jnp.asarray(pmi), sc.slot_ch, b.demod_gain,
+        n_sym, interpret=True)
+
+    assert np.array_equal(np.asarray(words0), np.asarray(words1)), \
+        "packed words differ"
+    # oe/pe: same arithmetic on the shared tiles (the two-kernel path
+    # appends one all-zero trailing tile the megakernel doesn't need)
+    G = min(np.asarray(oe0).shape[0], np.asarray(oe1).shape[0])
+    np.testing.assert_allclose(np.asarray(oe1)[:G], np.asarray(oe0)[:G],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pe1)[:G], np.asarray(pe0)[:G],
+                               rtol=1e-6, atol=1e-6)
+    assert not np.asarray(oe0)[G:].any() and not np.asarray(oe1)[G:].any()
+
+
 def test_staged_stream_same_packets():
     """Block-streamed decode equality at the packet level: every planted
     in-band packet found by the flat stream is found by staged steps."""
