@@ -151,17 +151,30 @@ def run_ingest(step, carry0, blocks, k):
     return time.time() - t0
 
 
-def measure_raw_link(n_bytes: int = 12_800_000, repeats: int = 8) -> float:
-    """Raw host->device `device_put` bandwidth in GB/s (the evidence for
-    any ingest-figure interpretation; per-block wire size payload)."""
+def measure_raw_link(n_bytes: int = 12_800_000, repeats: int = 8):
+    """Raw host->device link: (bandwidth GB/s, round-trip latency ms).
+
+    Both matter for interpreting the e2e figures: this rig's tunnel has
+    GB/s-class bandwidth but tens-of-ms RTT with multi-second stalls, so
+    per-block round trips (not bytes) bound the streaming loop — hence
+    the ingest pipeline's single-packed-fetch design (io/ingest.py)."""
     import jax
+    import jax.numpy as jnp
     buf = np.ones(n_bytes // 2, np.int16)
     jax.block_until_ready(jax.device_put(buf))         # warm
     t0 = time.time()
     for _ in range(repeats):
         jax.block_until_ready(jax.device_put(buf))
     dt = time.time() - t0
-    return n_bytes * repeats / dt / 1e9
+    gbps = n_bytes * repeats / dt / 1e9
+    tiny = jax.device_put(np.ones(8, np.float32))
+    float(jnp.sum(tiny))                               # warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(tiny))
+        rtts.append(time.perf_counter() - t0)
+    return gbps, float(np.median(rtts)) * 1e3
 
 
 def make_parity_runner(fe, n_distinct: int):
@@ -482,20 +495,32 @@ def bench_e2e_operating_points():
     from gr_bluetooth_tpu.models.sniffer import Sniffer
     from gr_bluetooth_tpu.testing import PiconetSim, make_piconet_capture
 
-    n_slots = 256
-    air_s = n_slots * 625e-6
     sim = PiconetSim(lap=LAP, uap=UAP, clk0=0x12780)
     out = {}
     logging.disable(logging.INFO)
     try:
         # int4's 4-bit quantization throws cross-channel intermodulation
         # images at ~20 dB that pass a 10 dB squelch, decode-fail, and
-        # trigger the clock-loss reset — the int4 operating point runs
-        # at a 25 dB squelch (planted packets sit at 44+ dB; images die
-        # with >20 dB margin; decode parity asserted below)
-        for name, fs, wire, squelch in (
-                ("fullband_int4", FS, "i4", 25.0),
-                ("band32MHz_int8", 32e6, "i8", 10.0)):
+        # trigger the clock-loss reset — the int4 points run at a 25 dB
+        # squelch (planted packets sit at 44+ dB; images die with >20 dB
+        # margin; decode parity asserted below).  The 8 Msps point is the
+        # reference's own demonstrated capture rate
+        # (samples/manifest.txt:6-28); the tunnel link on this rig swings
+        # 0.02-0.08 GB/s between rounds, so points are laddered to keep
+        # at least one >=1x row under the link's bad days.  Narrow-band
+        # points run longer captures: the steady state is what real time
+        # means, and with only ~5 blocks of air the pipeline's ramp
+        # blocks dominate.
+        # int4 is a FULL-BAND format: its quantization noise rides on the
+        # decimation's averaging gain (40 samples/chip at 80 Msps; at 16
+        # Msps only 8, and payload CRCs start failing) — narrow-band
+        # points ship int8.
+        for name, fs, wire, squelch, n_slots in (
+                ("fullband_int4", FS, "i4", 25.0, 256),
+                ("band32MHz_int8", 32e6, "i8", 10.0, 512),
+                ("band16MHz_int8", 16e6, "i8", 10.0, 1024),
+                ("band8MHz_int8", 8e6, "i8", 10.0, 1024)):
+            air_s = n_slots * 625e-6
             samples, sent = make_piconet_capture(
                 sim, n_slots=n_slots, fs=fs, center_freq=CENTER, seed=13,
                 tx_slots=range(0, n_slots - 8, 2), noise_std=0.02)
@@ -520,6 +545,7 @@ def bench_e2e_operating_points():
                 "fs_msps": fs / 1e6,
                 "wire": wire,
                 "squelch_db": squelch,
+                "n_slots": n_slots,
                 "wire_gbps_needed_realtime": round(
                     wire_bytes / air_s / 1e9, 3),
                 "planted_in_band": planted,
@@ -577,7 +603,7 @@ def main():
     samples_per_s = fe.step_samples / dt_block
 
     print(f"# bench: device loop {samples_per_s/1e6:.0f} Msps; measuring raw link", file=sys.stderr)
-    raw_gbps = measure_raw_link()
+    raw_gbps, link_rtt_ms = measure_raw_link()
 
     print(f"# bench: raw link {raw_gbps:.3f} GB/s; ingest runs", file=sys.stderr)
     # ingest-included: wire blocks, double-buffered H2D vs compute
@@ -653,6 +679,7 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(value / 80e6, 2),
         "raw_link_gbps": round(raw_gbps, 3),
+        "link_rtt_ms": round(link_rtt_ms, 1),
         "ingest_samples_per_s_int16": round(ingest["int16"], 1),
         "ingest_samples_per_s_int8": round(ingest["int8"], 1),
         "ingest_samples_per_s_int4": round(ingest["int4"], 1),

@@ -91,6 +91,29 @@ class PipelinedIngest:
         self._zeros = np.zeros((2, fe.overlap_samples), np.float32)
         self.chunk_shape = (fe.step_samples,) if wire == "i4" else \
             (fe.step_samples, 2)
+        # one-fetch output packing: a block's outputs (snr, counts, hit
+        # table, windows, LE twins) fetched separately cost one link
+        # round trip EACH — on a high-latency (remote/tunneled) device
+        # that bound the whole e2e loop (round-5 measurements: 30-45 ms
+        # RTT vs 40 ms of air per block).  The device concatenates them
+        # into a single int32 vector; the host splits one buffer.
+        self._out_specs = None          # [(shape, dtype) | None], lazy
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _pack(outs):
+            parts = []
+            for o in outs:
+                if o is None:
+                    continue
+                oi = jax.lax.bitcast_convert_type(o, jnp.int32) \
+                    if o.dtype == jnp.float32 else o.astype(jnp.int32)
+                parts.append(oi.reshape(-1))
+            return jnp.concatenate(parts)
+
+        self._pack = _pack
 
     def run(self, chunks, start_clkn: int = 0, initial_carry=None,
             bus=None):
@@ -109,7 +132,10 @@ class PipelinedIngest:
         carry = jax.device_put(
             initial_carry if initial_carry is not None else self._zeros)
         slot_base = start_clkn
-        pending = None                        # (outs, slot_base)
+        pending: list = []                    # [(outs, slot_base), ...]
+        DEPTH = 2   # blocks in flight past the one being assembled: on a
+        # high-latency (tunneled/remote) device link, one lag block is
+        # not enough to hide the per-block transfer round trips
         for item in chunks:
             if isinstance(item, _Slip):
                 # gap in the stream: air time advanced without samples.
@@ -123,21 +149,44 @@ class PipelinedIngest:
                              samples=item.samples, clkn=slot_base)
                 continue
             d = jax.device_put(np.ascontiguousarray(item))  # async H2D
-            if pending is not None:
-                yield self._assemble(pending)
+            if len(pending) > DEPTH:
+                yield self._assemble(pending.pop(0))
             with metrics.stage("device_step"):
                 carry, outs = self._step(carry, d)          # async compute
-            pending = (outs, slot_base)
+            if self._out_specs is None:
+                self._out_specs = [
+                    None if o is None else (o.shape, o.dtype.name)
+                    for o in outs]
+            packed = self._pack(tuple(outs))
+            # start the single D2H copy NOW: by assemble time the buffer
+            # is host-resident, so the fetch never blocks on a device
+            # round trip
+            packed.copy_to_host_async()
+            pending.append((packed, slot_base))
             slot_base += fe.block_slots
             metrics.count("blocks", 1)
             metrics.count("samples_in", fe.step_samples)
-        if pending is not None:
-            yield self._assemble(pending)
+        while pending:
+            yield self._assemble(pending.pop(0))
 
     def _assemble(self, pending):
         from ..utils.metrics import metrics
         with metrics.stage("assemble"):
-            res = self.fe.assemble_block(*pending[0], slot_base=pending[1])
+            buf = np.asarray(pending[0])       # ONE transfer per block
+            outs, pos = [], 0
+            for spec in self._out_specs:
+                if spec is None:
+                    outs.append(None)
+                    continue
+                shape, dtype = spec
+                n = int(np.prod(shape)) if shape else 1
+                a = buf[pos: pos + n]
+                if dtype == "float32":
+                    a = a.view(np.float32)
+                a = a.reshape(shape) if shape else a[0]
+                outs.append(a)
+                pos += n
+            res = self.fe.assemble_block(*outs, slot_base=pending[1])
         metrics.count("classic_hits", len(res.hits))
         metrics.count("le_hits", len(res.le_hits))
         return res
