@@ -64,17 +64,30 @@ def _build():
 SEQUENCE, CLASSIC_INDEX, LE_INDEX = _build()
 
 
+_TILED: dict = {}      # length -> (127+length,) cyclic SEQUENCE buffer
+
+
 def whitening_word(clock, length: int, skip: int = 0) -> np.ndarray:
     """Whitening bits for CLK1-6 value(s) `clock`, starting `skip` bits in.
 
     `clock` may be scalar or an array of candidate clocks; output shape is
     clock.shape + (length,).  Matches classic_packet_impl::unwhiten's stream
     (lib/packet_impl.cc:512-526).
-    """
+
+    The word is a cyclic slice of the 127-bit sequence, so rather than
+    building a (K, length) int64 index tensor and gathering elementwise
+    (the dominant cost of wide candidate batches — round-5 profile), the
+    rows come from a sliding-window view over a tiled buffer: one uint8
+    row copy per candidate."""
     clock = np.asarray(clock, dtype=np.int64)
-    start = CLASSIC_INDEX[clock & 0x3F]
-    idx = (start[..., None] + skip + np.arange(length, dtype=np.int64)) % 127
-    return SEQUENCE[idx]
+    start = (CLASSIC_INDEX[clock & 0x3F] + skip) % 127
+    buf = _TILED.get(length)
+    if buf is None:
+        if len(_TILED) > 64:                    # lengths are config-bounded
+            _TILED.clear()
+        buf = _TILED[length] = np.resize(SEQUENCE, 127 + length)
+    win = np.lib.stride_tricks.sliding_window_view(buf, length)
+    return win[start]
 
 
 def le_whitening_word(index: int, length: int, skip: int = 0) -> np.ndarray:
