@@ -842,13 +842,18 @@ def _pipelined_step(carry, new, *, wire_scale, wire_fmt="f32", overlap,
     if use_pallas and is_pfb:
         # stage on device so the step takes the fused-kernel fast path
         # (K1+SNR, demod->words): the lane-pad relayout costs ~1.2 ms at
-        # full band, the staged step saves ~2.5 over the flat internals
+        # full band, the staged step saves ~2.5 over the flat internals.
+        # x is duplicated into lane groups 0..D-1 and D..2D-1 (the
+        # packed-FIR/DFT layout, ops/pfb_kernel._fir_dft)
         from ..ops import pfb_kernel as _pk
         Q = h0.shape[0]
         F, _, _, _ = _pk.staged_geometry(xb.shape[1], decim, Q)
         n_x = xb.shape[1] // decim
         xv = xb[:, : n_x * decim].reshape(2, n_x, decim)
-        xb_in = jnp.pad(xv, ((0, 0), (0, F - n_x), (0, _pk._LD - decim)))
+        xv = jnp.concatenate(
+            [xv, xv,
+             jnp.zeros((2, n_x, _pk._LD - 2 * decim), xv.dtype)], axis=2)
+        xb_in = jnp.pad(xv, ((0, 0), (0, F - n_x), (0, 0)))
     else:
         xb_in = xb
     outs = _device_step(

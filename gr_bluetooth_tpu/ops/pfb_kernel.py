@@ -82,7 +82,11 @@ def stage_host(x: np.ndarray, D: int, Q: int) -> np.ndarray:
     n_x = x.shape[1] // D
     F, _, _, _ = staged_geometry(x.shape[1], D, Q)
     out = np.zeros((2, F, _LD), dtype=np.float32)
-    out[:, :n_x, :D] = x[:, : n_x * D].reshape(2, n_x, D)
+    xv = x[:, : n_x * D].reshape(2, n_x, D)
+    out[:, :n_x, :D] = xv
+    # duplicate into the second lane group: both branch FIRs then run in
+    # one accumulator and the DFT in one packed contraction (_fir_dft)
+    out[:, :n_x, D:2 * D] = xv
     return out
 
 
@@ -111,8 +115,45 @@ def probe_phase_matrices(taps_re, taps_im):
     return PR, PI
 
 
-def _kernel(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign, yr_out, yi_out,
-            xs, sem, *, Q: int, TF: int, n_data: int):
+def _fir_dft(xs, slot, h0, h1, mc, ms, TFW: int, Q: int, D: int):
+    """Shared per-tile FIR + DFT body, branch-packed.
+
+    The staged layout carries x DUPLICATED in lanes 0..D-1 and D..2D-1
+    (stage_host / the device staging paths write both groups), so BOTH
+    branch FIRs accumulate into one (TFW, LD) buffer (h0 taps live in
+    the low lane group, h1 in the high) and the M-point DFT is ONE
+    (C, LD) x (TFW, LD) contraction per cos/sin x I/Q instead of two
+    half-matrices added — the split form padded each D-lane half to 128
+    and burned 2x the MXU FLOPs (the DFT is the megakernel's largest
+    single cost, round-5 roofline).  An in-kernel lane roll was tried
+    first and cost more than the matmul saving; duplicating at staging
+    is free (the 128-lane rows cross HBM either way)."""
+    LD = xs.shape[3]
+    h0v, h1v = h0[...], h1[...]                    # (Q, LD), disjoint groups
+    a = []
+    for p in range(2):
+        acc = jnp.zeros((TFW, LD), jnp.float32)
+        for q in range(Q):
+            acc = (acc
+                   + xs[slot, p, pl.ds(2 * q, TFW), :] * h0v[q][None, :]
+                   + xs[slot, p, pl.ds(2 * q + 1, TFW), :] *
+                   h1v[q][None, :])
+        a.append(acc)
+
+    ddn = (((1,), (1,)), ((), ()))                 # contract branch lanes
+    cr = jax.lax.dot_general(mc[...], a[0], ddn,
+                             preferred_element_type=jnp.float32)
+    ci = jax.lax.dot_general(mc[...], a[1], ddn,
+                             preferred_element_type=jnp.float32)
+    sr = jax.lax.dot_general(ms[...], a[0], ddn,
+                             preferred_element_type=jnp.float32)
+    si = jax.lax.dot_general(ms[...], a[1], ddn,
+                             preferred_element_type=jnp.float32)
+    return cr, ci, sr, si
+
+
+def _kernel(xv_hbm, h0, h1, mc, ms, sign, yr_out, yi_out,
+            xs, sem, *, Q: int, TF: int, n_data: int, D: int):
     i = pl.program_id(0)
     W = TF + _LOOKAHEAD
     slot = jax.lax.rem(i, 2)
@@ -141,34 +182,7 @@ def _kernel(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign, yr_out, yi_out,
     @pl.when(i < n_data)
     def _():
         window_copy(i, slot).wait()
-
-        LD = xs.shape[3]
-        h0v, h1v = h0[...], h1[...]                # (Q, LD)
-        v0, v1 = [], []
-        for p in range(2):
-            a0 = jnp.zeros((TF, LD), jnp.float32)
-            a1 = jnp.zeros((TF, LD), jnp.float32)
-            for q in range(Q):
-                a0 = a0 + xs[slot, p, pl.ds(2 * q, TF), :] * h0v[q][None, :]
-                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TF), :] * \
-                    h1v[q][None, :]
-            v0.append(a0)
-            v1.append(a1)
-
-        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
-
-        def dft(m0, m1):
-            return (jax.lax.dot_general(m0, v0[0], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[0], ddn,
-                                          preferred_element_type=jnp.float32),
-                    jax.lax.dot_general(m0, v0[1], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[1], ddn,
-                                          preferred_element_type=jnp.float32))
-
-        cr, ci = dft(cm0[...], cm1[...])           # cos branch, I/Q
-        sr, si = dft(sm0[...], sm1[...])           # sin branch, I/Q
+        cr, ci, sr, si = _fir_dft(xs, slot, h0, h1, mc, ms, TF, Q, D)
         # rotator e^{-j pi c n} = (-1)^{cn}: TF is even, so the frame-
         # parity pattern is tile-invariant, baked into the (C, TF) signs
         yr_out[...] = (cr + si) * sign[...]
@@ -213,37 +227,29 @@ def pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int,
         grid_tiles = n_tiles
         need = n_tiles * TF + _LOOKAHEAD    # frames incl. DMA lookahead
         # free reshape: frame j, branch d = x[jD + d] (row-major
-        # contiguity); branch (lane) axis padded to a full 128-lane tile
-        # for the DMA (the relayout staging avoids)
+        # contiguity); branch (lane) axis: x duplicated into lane groups
+        # 0..D-1 and D..2D-1 (the packed-FIR/DFT layout), padded to a
+        # full 128-lane tile for the DMA
         xv = x_ri[:, : n_x * D].reshape(2, n_x, D)
-        xv = jnp.pad(xv, ((0, 0), (0, max(0, need - n_x)), (0, LD - D)))
+        xv = jnp.concatenate(
+            [xv, xv, jnp.zeros((2, n_x, LD - 2 * D), xv.dtype)], axis=2)
+        xv = jnp.pad(xv, ((0, 0), (0, max(0, need - n_x)), (0, 0)))
 
-    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
-    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
-
-    # DFT matrix split into branch halves (rows of u = (v0 ; v1))
-    cm = jnp.asarray(dft_c).T                          # (C, M)
-    sm = jnp.asarray(dft_s).T
-    cm0 = jnp.pad(cm[:, :D], ((0, 0), (0, LD - D)))
-    cm1 = jnp.pad(cm[:, D:], ((0, 0), (0, LD - D)))
-    sm0 = jnp.pad(sm[:, :D], ((0, 0), (0, LD - D)))
-    sm1 = jnp.pad(sm[:, D:], ((0, 0), (0, LD - D)))
+    h0p, h1p, mc, ms = _packed_consts(h0, h1, dft_c, dft_s, D, LD)
 
     parity = jnp.asarray((np.arange(TF) & 1).astype(np.float32))
     sign = 1.0 - 2.0 * (jnp.asarray(bin_odd)[:, None] * parity[None, :])
 
     W = TF + _LOOKAHEAD
     yr, yi = pl.pallas_call(
-        partial(_kernel, Q=Q, TF=TF, n_data=n_tiles),
+        partial(_kernel, Q=Q, TF=TF, n_data=n_tiles, D=D),
         grid=(grid_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, lo half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, hi half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, lo half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, hi half
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0 (lo lanes)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1 (hi lanes)
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, packed
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, packed
             pl.BlockSpec((C, TF), lambda i: (0, 0)),         # sign
         ],
         out_specs=[
@@ -259,15 +265,37 @@ def pfb_channelize_fused(x_ri, h0, h1, dft_c, dft_s, bin_odd, D: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xv, h0, h1, cm0, cm1, sm0, sm1, sign)
+    )(xv, h0p, h1p, mc, ms, sign)
     if n is None:
         return yr, yi
     return yr[:, :n], yi[:, :n]
 
 
-def _kernel_snr(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
+def _packed_consts(h0, h1, dft_c, dft_s, D: int, LD: int, C_pad: int = 0):
+    """Branch-packed tap/DFT constants for _fir_dft: h0 taps in lanes
+    0..D-1, h1 in D..2D-1, and the (C, M) DFT matrices packed into
+    (C, LD) with their halves in the matching lane groups."""
+    if 2 * D > LD:
+        raise ValueError(f"branch packing needs 2D <= LD: {2 * D} > {LD}")
+    h0p = jnp.pad(h0, ((0, 0), (0, LD - D)))
+    h1p = jnp.pad(h1, ((0, 0), (D, LD - 2 * D)))
+    cm = jnp.asarray(dft_c).T                          # (C, M)
+    sm = jnp.asarray(dft_s).T
+    mc = jnp.concatenate(
+        [cm[:, :D], cm[:, D:],
+         jnp.zeros((cm.shape[0], LD - 2 * D), cm.dtype)], axis=1)
+    ms = jnp.concatenate(
+        [sm[:, :D], sm[:, D:],
+         jnp.zeros((sm.shape[0], LD - 2 * D), sm.dtype)], axis=1)
+    if C_pad:
+        mc = jnp.pad(mc, ((0, C_pad), (0, 0)))
+        ms = jnp.pad(ms, ((0, C_pad), (0, 0)))
+    return h0p, h1p, mc, ms
+
+
+def _kernel_snr(xv_hbm, h0, h1, mc, ms, sign_w, pr, pi,
                 yr_out, yi_out, oe_out, pe_out, xs, sem,
-                *, Q: int, n_data: int, slot_ch: int):
+                *, Q: int, n_data: int, slot_ch: int, D: int):
     """Staged-mode variant that additionally emits the per-slot SNR
     inputs while y is still in VMEM: per-tile on-energy piece sums
     (C, 2 — a 1024-frame tile spans at most two slots) and the
@@ -304,35 +332,7 @@ def _kernel_snr(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
     @pl.when(i < n_data)
     def _():
         window_copy(i, slot).wait()
-
-        LD = xs.shape[3]
-        h0v, h1v = h0[...], h1[...]                # (Q, LD)
-        v0, v1 = [], []
-        for p in range(2):
-            a0 = jnp.zeros((TFW, LD), jnp.float32)
-            a1 = jnp.zeros((TFW, LD), jnp.float32)
-            for q in range(Q):
-                a0 = a0 + xs[slot, p, pl.ds(2 * q, TFW), :] * \
-                    h0v[q][None, :]
-                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TFW), :] * \
-                    h1v[q][None, :]
-            v0.append(a0)
-            v1.append(a1)
-
-        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
-
-        def dft(m0, m1):
-            return (jax.lax.dot_general(m0, v0[0], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[0], ddn,
-                                          preferred_element_type=jnp.float32),
-                    jax.lax.dot_general(m0, v0[1], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[1], ddn,
-                                          preferred_element_type=jnp.float32))
-
-        cr, ci = dft(cm0[...], cm1[...])           # (C, TFW)
-        sr, si = dft(sm0[...], sm1[...])
+        cr, ci, sr, si = _fir_dft(xs, slot, h0, h1, mc, ms, TFW, Q, D)
         ywr = (cr + si) * sign_w[...]              # rotated wide streams
         ywi = (ci - sr) * sign_w[...]
         yr_out[...] = ywr[:, :TF]
@@ -386,30 +386,21 @@ def pfb_channelize_snr_fused(x3, h0, h1, dft_c, dft_s, bin_odd, D: int,
     n_tiles = (x3.shape[1] - _LOOKAHEAD) // _TF
     grid_tiles = n_tiles + 1
 
-    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
-    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
-    cm = jnp.asarray(dft_c).T
-    sm = jnp.asarray(dft_s).T
-    cm0 = jnp.pad(cm[:, :D], ((0, 0), (0, LD - D)))
-    cm1 = jnp.pad(cm[:, D:], ((0, 0), (0, LD - D)))
-    sm0 = jnp.pad(sm[:, :D], ((0, 0), (0, LD - D)))
-    sm1 = jnp.pad(sm[:, D:], ((0, 0), (0, LD - D)))
+    h0p, h1p, mc, ms = _packed_consts(h0, h1, dft_c, dft_s, D, LD)
 
     parity = jnp.asarray((np.arange(TFW) & 1).astype(np.float32))
     sign_w = 1.0 - 2.0 * (jnp.asarray(bin_odd)[:, None] * parity[None, :])
 
     W = _TF + _LOOKAHEAD
     yr, yi, oe, pe = pl.pallas_call(
-        partial(_kernel_snr, Q=Q, n_data=n_tiles, slot_ch=slot_ch),
+        partial(_kernel_snr, Q=Q, n_data=n_tiles, slot_ch=slot_ch, D=D),
         grid=(grid_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, lo half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, hi half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, lo half
-            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, hi half
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0 (lo lanes)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1 (hi lanes)
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # cos, packed
+            pl.BlockSpec((C, LD), lambda i: (0, 0)),         # sin, packed
             pl.BlockSpec((C, TFW), lambda i: (0, 0)),        # sign (wide)
             pl.BlockSpec((1, TFW, _PC),
                          lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe re
@@ -433,15 +424,15 @@ def pfb_channelize_snr_fused(x3, h0, h1, dft_c, dft_s, bin_odd, D: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x3, h0, h1, cm0, cm1, sm0, sm1, sign_w, probe_mr, probe_mi)
+    )(x3, h0p, h1p, mc, ms, sign_w, probe_mr, probe_mi)
     return yr, yi, oe, pe
 
 
-def _kernel_snr_demod(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
+def _kernel_snr_demod(xv_hbm, h0, h1, mc, ms, sign_w, pr, pi,
                       pkm_e, pkm_o, pkm_lo, pkm_hi,
                       words_out, oe_out, pe_out, xs, sem,
                       *, Q: int, n_data: int, slot_ch: int, gain: float,
-                      n_sym: int):
+                      n_sym: int, D: int):
     """The round-5 megakernel: channelize + SNR partials + GFSK demod +
     feedforward timing + slicer + word-pack, one pass per 1024-frame tile.
 
@@ -486,35 +477,7 @@ def _kernel_snr_demod(xv_hbm, h0, h1, cm0, cm1, sm0, sm1, sign_w, pr, pi,
     @pl.when(i < n_data)
     def _():
         window_copy(i, slot).wait()
-
-        LD = xs.shape[3]
-        h0v, h1v = h0[...], h1[...]                # (Q, LD)
-        v0, v1 = [], []
-        for p in range(2):
-            a0 = jnp.zeros((TFW, LD), jnp.float32)
-            a1 = jnp.zeros((TFW, LD), jnp.float32)
-            for q in range(Q):
-                a0 = a0 + xs[slot, p, pl.ds(2 * q, TFW), :] * \
-                    h0v[q][None, :]
-                a1 = a1 + xs[slot, p, pl.ds(2 * q + 1, TFW), :] * \
-                    h1v[q][None, :]
-            v0.append(a0)
-            v1.append(a1)
-
-        ddn = (((1,), (1,)), ((), ()))             # contract branch lanes
-
-        def dft(m0, m1):
-            return (jax.lax.dot_general(m0, v0[0], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[0], ddn,
-                                          preferred_element_type=jnp.float32),
-                    jax.lax.dot_general(m0, v0[1], ddn,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(m1, v1[1], ddn,
-                                          preferred_element_type=jnp.float32))
-
-        cr, ci = dft(cm0[...], cm1[...])           # (C, TFW)
-        sr, si = dft(sm0[...], sm1[...])
+        cr, ci, sr, si = _fir_dft(xs, slot, h0, h1, mc, ms, TFW, Q, D)
         ywr = (cr + si) * sign_w[...]              # rotated wide streams
         ywi = (ci - sr) * sign_w[...]
 
@@ -625,17 +588,11 @@ def pfb_channelize_snr_demod_fused(x3, h0, h1, dft_c, dft_s, bin_odd,
     n_t_sym = -(-n_sym // _GROUP)
     grid_tiles = max(n_tiles, n_t_sym)
 
-    h0 = jnp.pad(h0, ((0, 0), (0, LD - D)))
-    h1 = jnp.pad(h1, ((0, 0), (0, LD - D)))
-    cm = jnp.asarray(dft_c).T
-    sm = jnp.asarray(dft_s).T
     # pad the channel axis to a sublane multiple so every (C, ...) tile
     # and the word output block satisfy Mosaic's alignment; padded rows
     # produce zero streams and are sliced off below
-    cm0 = jnp.pad(cm[:, :D], ((0, C_p - C), (0, LD - D)))
-    cm1 = jnp.pad(cm[:, D:], ((0, C_p - C), (0, LD - D)))
-    sm0 = jnp.pad(sm[:, :D], ((0, C_p - C), (0, LD - D)))
-    sm1 = jnp.pad(sm[:, D:], ((0, C_p - C), (0, LD - D)))
+    h0p, h1p, mc, ms = _packed_consts(h0, h1, dft_c, dft_s, D, LD,
+                                      C_pad=C_p - C)
 
     parity = jnp.asarray((np.arange(TFW) & 1).astype(np.float32))
     bo = jnp.pad(jnp.asarray(bin_odd), (0, C_p - C))
@@ -646,16 +603,14 @@ def pfb_channelize_snr_demod_fused(x3, h0, h1, dft_c, dft_s, bin_odd,
     W = _TF + _LOOKAHEAD
     words, oe, pe = pl.pallas_call(
         partial(_kernel_snr_demod, Q=Q, n_data=n_tiles, slot_ch=slot_ch,
-                gain=float(gain), n_sym=n_sym),
+                gain=float(gain), n_sym=n_sym, D=D),
         grid=(grid_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # xv (HBM)
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0
-            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1
-            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # cos, lo half
-            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # cos, hi half
-            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # sin, lo half
-            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # sin, hi half
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h0 (lo lanes)
+            pl.BlockSpec((Q, LD), lambda i: (0, 0)),         # h1 (hi lanes)
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # cos, packed
+            pl.BlockSpec((C_p, LD), lambda i: (0, 0)),       # sin, packed
             pl.BlockSpec((C_p, TFW), lambda i: (0, 0)),      # sign (wide)
             pl.BlockSpec((1, TFW, _PC),
                          lambda i: (jax.lax.rem(i, 5), 0, 0)),   # probe re
@@ -681,7 +636,7 @@ def pfb_channelize_snr_demod_fused(x3, h0, h1, dft_c, dft_s, bin_odd,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x3, h0, h1, cm0, cm1, sm0, sm1, sign_w, probe_mr, probe_mi,
+    )(x3, h0p, h1p, mc, ms, sign_w, probe_mr, probe_mi,
       pkm_e, pkm_o, pkm_lo, pkm_hi)
 
     wordsf = words.transpose(1, 0, 2).reshape(C_p, grid_tiles * _WPT)
