@@ -21,23 +21,26 @@ Baseline (BASELINE.md): the reference publishes no numbers; the target of
 record is real-time full-band = 80 Msps/chip. vs_baseline = value / 80e6.
 
 Additional figures in the JSON line:
-  * ingest-included samples/s for int16 AND int8 wire formats with the
-    production-shaped double-buffered pipeline (device-side carry +
-    conversion, device_put of block i+1 overlapping compute of block i),
-    plus the measured raw `device_put` link bandwidth that bounds them.
-  * roofline accounting: modeled HBM bytes + FLOPs per block at the
-    CURRENT kernel boundaries (staged input read once, y stream written
-    by the fused PFB+SNR kernel and read once by the demod kernel,
-    packed planes), the implied speed-of-light block time, the achieved
-    fraction, and the fraction against the round-3 model for
-    comparability.
+  * ingest-included samples/s for int16 / int8 / int4-packed wire
+    formats with the production-shaped double-buffered pipeline
+    (device-side carry + conversion, device_put of block i+1 overlapping
+    compute of block i), plus the measured raw `device_put` link
+    bandwidth AND round-trip latency that bound them.
+  * roofline accounting at the CURRENT kernel boundaries (round-5
+    megakernel: staged input read once, y never in HBM, packed planes
+    out): modeled speed-of-light block time, achieved fraction, the
+    r3/r4 model bases for comparability, and a top-5-op profiler
+    attribution table.
   * sniffer end-to-end: a busy capture (every 2nd slot occupied) through
     the FULL Sniffer (device frontend + host packet decode), plus the
     host-decode half alone (us/packet and the implied real-time factor
     at a worst-case fully-busy 1600 packets/s air load).
-  * hostile sniffer load: every slot occupied with mixed 1/3/5-slot
-    types from three piconets, LE on — scalar vs batched vs discovery
-    host decode.
+  * e2e_operating_points: the whole loop (pre-packed wire bytes -> H2D
+    -> device step -> hit tables -> host decode) at link-sized points,
+    with decode-parity counts.
+  * hostile sniffer load: every slot occupied, three piconets, LE on —
+    scalar vs batched (two independent runs) vs multiprocess-pool vs
+    discovery host decode, all median-of-reps with spread.
 
 Prints ONE JSON line.
 """
