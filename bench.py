@@ -518,17 +518,20 @@ def bench_e2e_operating_points():
         # decimation's averaging gain (40 samples/chip at 80 Msps; at 16
         # Msps only 8, and payload CRCs start failing) — narrow-band
         # points ship int8.
-        for name, fs, wire, squelch, n_slots in (
-                ("fullband_int4", FS, "i4", 25.0, 256),
-                ("band32MHz_int8", 32e6, "i8", 10.0, 512),
-                ("band16MHz_int8", 16e6, "i8", 10.0, 1024),
-                ("band8MHz_int8", 8e6, "i8", 10.0, 1024)):
+        # narrow-band points run 128-slot blocks: the per-block link
+        # round trips are the bound on this rig (link_rtt_ms), so more
+        # air per block buys real-time margin directly
+        for name, fs, wire, squelch, n_slots, bs in (
+                ("fullband_int4", FS, "i4", 25.0, 256, BLOCK_SLOTS),
+                ("band32MHz_int8", 32e6, "i8", 10.0, 512, 128),
+                ("band16MHz_int8", 16e6, "i8", 10.0, 1024, 128),
+                ("band8MHz_int8", 8e6, "i8", 10.0, 1024, 128)):
             air_s = n_slots * 625e-6
             samples, sent = make_piconet_capture(
                 sim, n_slots=n_slots, fs=fs, center_freq=CENTER, seed=13,
                 tx_slots=range(0, n_slots - 8, 2), noise_std=0.02)
             x = np.stack([samples.real, samples.imag]).astype(np.float32)
-            sn = Sniffer(fs, CENTER, block_slots=BLOCK_SLOTS,
+            sn = Sniffer(fs, CENTER, block_slots=bs,
                          squelch_threshold=squelch)
             bank = set(sn.fe.bank.channels)
             planted = sum(1 for s, c, _ in sent if c in bank and s >= 1)

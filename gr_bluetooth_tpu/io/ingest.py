@@ -133,9 +133,11 @@ class PipelinedIngest:
             initial_carry if initial_carry is not None else self._zeros)
         slot_base = start_clkn
         pending: list = []                    # [(outs, slot_base), ...]
-        DEPTH = 2   # blocks in flight past the one being assembled: on a
-        # high-latency (tunneled/remote) device link, one lag block is
-        # not enough to hide the per-block transfer round trips
+        DEPTH = 4   # blocks in flight past the one being assembled: on a
+        # high-latency (tunneled/remote) device link the per-block
+        # transfer round trips (~30 ms RTT measured) need several blocks
+        # of lag to fully hide; the cost is DEPTH blocks of result
+        # latency, irrelevant for a sniffer
         for item in chunks:
             if isinstance(item, _Slip):
                 # gap in the stream: air time advanced without samples.

@@ -147,8 +147,8 @@ def _kernel(yr_hbm, yi_hbm, pe, po, plo, phi, out_ref, xs, sem,
 
     # metrics for the 16 phase hypotheses: f = (p%8)/8, parity p//8;
     # the interpolated magnitudes depend only on f — compute each once
-    # and reuse for both parity masks (identical values, half the
-    # interp+abs passes)
+    # and reuse for both parity masks (an MXU dot form measured the
+    # same, so the simpler masked sums stay)
     us = [jnp.abs(d * (1.0 - p8 / 8.0) + d1 * (p8 / 8.0))
           for p8 in range(8)]
     cols = []
