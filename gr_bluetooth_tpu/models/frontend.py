@@ -528,7 +528,21 @@ def _extract_hits_packed(hitw, max_hits):
     nsw = -(-flatw.shape[0] // SW)
     flatp = jnp.pad(flatw, (0, nsw * SW - flatw.shape[0])).reshape(nsw, SW)
     sidx = _first_k_indices(flatp.any(axis=1), max_hits)
-    wsel = flatp[sidx].reshape(-1)                 # (max_hits*SW,)
+    # gather the selected superwords via 128-lane-aligned chunk rows +
+    # a 2-stage barrel select (a (K, 32)-wide row gather lowers to a
+    # serialized dynamic-slice loop, ~0.12 ms/block in the round-5
+    # trace; 128-wide row gathers are the one form TPU lowers well)
+    n4 = -(-nsw // 4)
+    table = jnp.pad(flatp, ((0, n4 * 4 - nsw), (0, 0))).reshape(n4, 4 * SW)
+    rows = jnp.take(table, sidx // 4, axis=0)      # (max_hits, 128)
+    g = (sidx % 4)[:, None]
+    u = rows
+    for k in (1, 0):
+        amt = SW << k                              # 64, 32
+        shifted = jnp.concatenate(
+            [u[:, amt:], jnp.zeros((u.shape[0], amt), u.dtype)], axis=1)
+        u = jnp.where(((g >> k) & 1) > 0, shifted, u)
+    wsel = u[:, :SW].reshape(-1)                   # (max_hits*SW,)
     widx2 = _first_k_indices(wsel, max_hits)
     widx = sidx[widx2 // SW] * SW + widx2 % SW     # flat word indices
     widx = jnp.minimum(widx, flatw.shape[0] - 1)
