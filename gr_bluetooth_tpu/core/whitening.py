@@ -67,6 +67,17 @@ SEQUENCE, CLASSIC_INDEX, LE_INDEX = _build()
 _TILED: dict = {}      # length -> (127+length,) cyclic SEQUENCE buffer
 
 
+def _tiled(length: int) -> np.ndarray:
+    buf = _TILED.get(length)
+    if buf is None:
+        if len(_TILED) > 64:                    # lengths are config-bounded
+            _TILED.clear()
+        buf = np.resize(SEQUENCE, 127 + length)
+        buf.setflags(write=False)               # shared cache: views too
+        _TILED[length] = buf
+    return buf
+
+
 def whitening_word(clock, length: int, skip: int = 0) -> np.ndarray:
     """Whitening bits for CLK1-6 value(s) `clock`, starting `skip` bits in.
 
@@ -81,19 +92,17 @@ def whitening_word(clock, length: int, skip: int = 0) -> np.ndarray:
     row copy per candidate."""
     clock = np.asarray(clock, dtype=np.int64)
     start = (CLASSIC_INDEX[clock & 0x3F] + skip) % 127
-    buf = _TILED.get(length)
-    if buf is None:
-        if len(_TILED) > 64:                    # lengths are config-bounded
-            _TILED.clear()
-        buf = _TILED[length] = np.resize(SEQUENCE, 127 + length)
+    buf = _tiled(length)
     win = np.lib.stride_tricks.sliding_window_view(buf, length)
+    # array starts fancy-index (copy); a scalar start returns a READ-ONLY
+    # view of the shared cache (buf is non-writable) — callers only XOR
     return win[start]
 
 
 def le_whitening_word(index: int, length: int, skip: int = 0) -> np.ndarray:
     """Whitening bits for LE channel index (0..39). Ref: packet_impl.cc:1446-1450."""
-    start = LE_INDEX[index]
-    return SEQUENCE[(start + skip + np.arange(length, dtype=np.int64)) % 127]
+    start = (int(LE_INDEX[index]) + skip) % 127
+    return _tiled(length)[start: start + length]   # read-only cache view
 
 
 def unwhiten(air_bits, clock, skip: int = 0) -> np.ndarray:
