@@ -115,15 +115,12 @@ def make_ingest_runner(fe, np_dtype, scale, wire="i16"):
 
     overlap = fe.block_samples - fe.step_samples
 
+    from gr_bluetooth_tpu.io.ingest import wire_decode_jnp
+
     @jax.jit
     def step(carry, xi_new):
         if wire == "i4":
-            b = xi_new.astype(jnp.int32)
-            i4 = (b & 0xF).astype(jnp.float32)
-            q4 = ((b >> 4) & 0xF).astype(jnp.float32)
-            i4 = i4 - 16.0 * (i4 >= 8)
-            q4 = q4 - 16.0 * (q4 >= 8)
-            x_new = jnp.stack([i4, q4]) * scale
+            x_new = wire_decode_jnp(xi_new, wire, scale)
         else:
             x_new = xi_new.astype(jnp.float32) * scale
         xb = jnp.concatenate([carry, x_new], axis=1)
@@ -618,9 +615,9 @@ def main():
             ("int16", "i16", np.int16, 32767.0, 32768.0),
             ("int8", "i8", np.int8, 127.0, 128.0),
             ("int4", "i4", np.uint8, 8.0, 8.0)):
+        from gr_bluetooth_tpu.io.ingest import wire_encode
         if wire == "i4":
-            q = np.clip(np.round(x * 8.0), -8, 7).astype(np.int8)
-            xi = ((q[0] & 0xF) | ((q[1] & 0xF) << 4)).astype(np.uint8)
+            xi = wire_encode(x, wire)
             blocks = [np.ascontiguousarray(
                 xi[fe.overlap_samples + i * fe.step_samples:
                    fe.overlap_samples + (i + 1) * fe.step_samples])

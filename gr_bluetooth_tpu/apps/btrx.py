@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input rtl_sdr-style UNSIGNED offset bytes "
                         "(x = (b - 127.5)/127.5) — pipe `rtl_sdr -f FREQ "
                         "-s RATE -` straight in (doc/sdr_pipeline.md)")
+    p.add_argument("-4", "--input-nibbles", dest="input_i4",
+                   action="store_true",
+                   help="input int4-packed IQ (one byte per complex "
+                        "sample, I nibble low) — the full-band wire "
+                        "format for a bandwidth-starved host link; "
+                        "stdin/--live only")
     p.add_argument("-t", "--snr", type=float, default=10.0,
                    help="SNR squelch threshold in dB (default 10.0)")
     p.add_argument("-w", "--wireshark", action="store_true",
@@ -192,7 +198,8 @@ def _run_source(opts, mode, start_clkn: int) -> int:
                   f"capture file, or an integer-Msps radio rate",
                   file=sys.stderr)
             return 2
-        wire = ("u8" if getattr(opts, "input_u8", False) else
+        wire = ("i4" if getattr(opts, "input_i4", False) else
+                "u8" if getattr(opts, "input_u8", False) else
                 "i8" if opts.input_bytes else
                 "i16" if opts.input_shorts else "f32")
         from ..io.ingest import PipelinedIngest, live_chunks
@@ -221,10 +228,12 @@ def _run_source(opts, mode, start_clkn: int) -> int:
         if getattr(opts, "input_u8", False):
             # replayed rtl_sdr recording: same offset-byte conversion as
             # the stdin path, via numpy (files are not the hot path)
+            from ..io.ingest import wire_decode_np
             raw = np.fromfile(opts.input_file, dtype=np.uint8)
+            raw = raw[: (len(raw) // 2) * 2]   # drop a torn final sample
             if nsamples:
                 raw = raw[: 2 * nsamples]
-            x = (raw.reshape(-1, 2).astype(np.float32).T - 127.5) / 127.5
+            x = wire_decode_np(raw.reshape(-1, 2), "u8")
         else:
             x = load_file(opts.input_file, opts.input_shorts, nsamples,
                           opts.input_bytes)

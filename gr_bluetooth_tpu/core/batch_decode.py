@@ -255,6 +255,8 @@ def _decode_acl_all(bits, sizes, clocks, uaps, ptypes, g, out):
             o["fail"] = "payload_fec"
             continue
         j = srow_l[i]
-        o["payload"] = unw[j, : length_l[i] * 8]
+        # copy: a view would pin the whole (Ks, W) unwhitened matrix in
+        # memory for as long as any decoded packet from the block lives
+        o["payload"] = unw[j, : length_l[i] * 8].copy()
         o["ok"] = True
         o["crc_ok"] = cm_l[j] if hc_l[j] else None

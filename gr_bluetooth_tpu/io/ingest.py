@@ -56,6 +56,60 @@ WIRES = {
 }
 
 
+def wire_encode(x, wire: str) -> np.ndarray:
+    """(2, N) float32 planes -> the on-the-wire array, quantized exactly
+    as the device-side decode will see it.  The SINGLE host-side
+    authority for each format's packing (btrx replay, wire_chunks, and
+    the bench all use it — a drifted copy would silently break
+    carry-vs-device block parity)."""
+    inter = np.ascontiguousarray(np.asarray(x, np.float32).T)  # (N, 2)
+    if wire == "f32":
+        return inter
+    if wire == "i4":
+        q = np.clip(np.round(inter * 8.0), -8, 7).astype(np.int8)
+        return ((q[:, 0] & 0xF) | ((q[:, 1] & 0xF) << 4)).astype(np.uint8)
+    if wire == "u8":
+        return np.clip(np.round(inter * 127.5 + 127.5), 0,
+                       255).astype(np.uint8)
+    dtype, scale = WIRES[wire]
+    lim = {"i16": 32767.0, "i8": 127.0}[wire]
+    return np.clip(inter / scale, -lim - 1, lim).astype(dtype)
+
+
+def wire_decode_np(inter: np.ndarray, wire: str) -> np.ndarray:
+    """Wire array -> (2, N) float32 planes; the numpy mirror of
+    wire_decode_jnp (used for carries and file replays)."""
+    _, scale = WIRES[wire]
+    if wire == "i4":
+        b = np.asarray(inter).astype(np.int32)
+        i4 = (b & 0xF).astype(np.float32)
+        q4 = ((b >> 4) & 0xF).astype(np.float32)
+        i4 -= 16.0 * (i4 >= 8)
+        q4 -= 16.0 * (q4 >= 8)
+        return np.ascontiguousarray(np.stack([i4, q4]) * scale)
+    x = np.asarray(inter).astype(np.float32).T
+    if wire == "u8":
+        x = x - 127.5
+    return np.ascontiguousarray(x * scale if scale != 1.0 else x)
+
+
+def wire_decode_jnp(new, wire: str, scale: float):
+    """Device-side wire -> (2, N) float32 planes (traced; the jnp twin
+    of wire_decode_np — keep the two bit-identical)."""
+    import jax.numpy as jnp
+    if wire == "i4":
+        b = new.astype(jnp.int32)                  # (N,) packed bytes
+        i4 = (b & 0xF).astype(jnp.float32)
+        q4 = ((b >> 4) & 0xF).astype(jnp.float32)
+        i4 = i4 - 16.0 * (i4 >= 8)
+        q4 = q4 - 16.0 * (q4 >= 8)
+        return jnp.stack([i4, q4]) * scale
+    x = new.astype(jnp.float32).T
+    if wire == "u8":
+        x = x - 127.5
+    return x * scale if scale != 1.0 else x
+
+
 @dataclass
 class _Slip:
     """A clock discontinuity: the source dropped `slots` slots of air."""
@@ -201,20 +255,10 @@ def wire_chunks(samples, fe, wire: str = "f32", pad_tail: bool = False):
     PipelinedIngest.run(...) yields the SAME blocks as fe.stream_sync.
     With pad_tail, a final zero-padded chunk covers the partial remainder
     (stream_sync's padded tail block)."""
-    dtype, scale = WIRES[wire]
     samples = np.asarray(samples)
     if np.iscomplexobj(samples):
         samples = np.stack([samples.real, samples.imag]).astype(np.float32)
-    inter = np.ascontiguousarray(samples.T)    # (N, 2) float pairs
-    if wire == "i4":
-        q = np.clip(np.round(inter / scale), -8, 7).astype(np.int8)
-        inter = ((q[:, 0] & 0xF) | ((q[:, 1] & 0xF) << 4)).astype(np.uint8)
-    elif wire == "u8":
-        inter = np.clip(np.round(inter * 127.5 + 127.5), 0,
-                        255).astype(np.uint8)
-    elif wire != "f32":
-        lim = {"i16": 32767.0, "i8": 127.0}[wire]
-        inter = np.clip(inter / scale, -lim - 1, lim).astype(dtype)
+    inter = wire_encode(samples, wire)
     ov, st = fe.overlap_samples, fe.step_samples
     n = inter.shape[0]
     if pad_tail:
@@ -223,25 +267,16 @@ def wire_chunks(samples, fe, wire: str = "f32", pad_tail: bool = False):
         n_chunks = max(0, (n - ov) // st)
     total = ov + n_chunks * st
     if total > n:
+        from .sources import WIRE_ZERO_BYTE
         pad_shape = (total - n,) if wire == "i4" else (total - n, 2)
+        # zero-LEVEL padding: for u8's offset format a 0x00 byte is
+        # full-scale -1-1j, which would rail the tail block's energy
+        fill = WIRE_ZERO_BYTE[wire] if wire == "u8" else 0
         inter = np.concatenate(
-            [inter, np.zeros(pad_shape, inter.dtype)], axis=0)
-    if wire == "i4":
-        # carry holds the QUANTIZED values (what the device would have
-        # seen), so block placement and content match the wire pipeline
-        b = inter[:ov].astype(np.int32)
-        i4 = (b & 0xF).astype(np.float32)
-        q4 = ((b >> 4) & 0xF).astype(np.float32)
-        i4 -= 16.0 * (i4 >= 8)
-        q4 -= 16.0 * (q4 >= 8)
-        carry = np.ascontiguousarray(np.stack([i4, q4]) * scale)
-    elif wire == "u8":
-        carry = np.ascontiguousarray(
-            (inter[:ov].astype(np.float32).T - 127.5) * scale)
-    else:
-        carry = np.ascontiguousarray(inter[:ov].astype(np.float32).T)
-        if wire != "f32":
-            carry = carry * scale
+            [inter, np.full(pad_shape, fill, inter.dtype)], axis=0)
+    # carry holds the QUANTIZED values (what the device would have
+    # seen), so block placement and content match the wire pipeline
+    carry = wire_decode_np(inter[:ov], wire)
 
     def chunks():
         for i in range(n_chunks):

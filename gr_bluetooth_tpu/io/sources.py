@@ -37,9 +37,13 @@ def load_file(path: str, input_shorts: bool = False,
 
 
 WIRE_ITEMSIZE = {"f32": 8, "i16": 4, "i8": 2,      # bytes per IQ sample
-                 "u8": 2}                          # rtl_sdr offset bytes
+                 "u8": 2,                          # rtl_sdr offset bytes
+                 "i4": 1}                          # packed IQ nibbles
 WIRE_DTYPE = {"f32": np.float32, "i16": np.int16, "i8": np.int8,
-              "u8": np.uint8}
+              "u8": np.uint8, "i4": np.uint8}
+# the byte that decodes to (approximately) zero signal — tail padding
+# must use it: a 0x00 pad is full-scale -1-1j in the u8 offset format
+WIRE_ZERO_BYTE = {"f32": 0, "i16": 0, "i8": 0, "u8": 127, "i4": 0}
 
 
 def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
@@ -60,7 +64,8 @@ def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
     produced = 0
 
     def convert(buf: bytes) -> np.ndarray:
-        return np.frombuffer(buf, dtype=dtype).reshape(-1, 2)
+        a = np.frombuffer(buf, dtype=dtype)
+        return a if wire == "i4" else a.reshape(-1, 2)
 
     if lib is not None:
         import ctypes
@@ -84,7 +89,8 @@ def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
                     produced += chunk_samples
                     pending = pending[need_bytes:]
             if pending and (nsamples is None or produced < nsamples):
-                pad = pending + b"\0" * (need_bytes - len(pending))
+                zb = bytes([WIRE_ZERO_BYTE[wire]])
+                pad = pending + zb * (need_bytes - len(pending))
                 yield convert(pad)
         finally:
             lib.bt_ring_destroy(ring)
@@ -95,7 +101,8 @@ def stream_stdin_raw(chunk_samples: int, wire: str = "f32",
             if not buf:
                 break
             if len(buf) < need_bytes:
-                buf = buf + b"\0" * (need_bytes - len(buf))
+                zb = bytes([WIRE_ZERO_BYTE[wire]])
+                buf = buf + zb * (need_bytes - len(buf))
             yield convert(buf)
             produced += chunk_samples
 
@@ -179,7 +186,8 @@ class LiveSource:
             if len(pending) >= self.need_bytes:
                 chunk, pending = (pending[:self.need_bytes],
                                   pending[self.need_bytes:])
-                yield np.frombuffer(chunk, dtype=dtype).reshape(-1, 2)
+                a = np.frombuffer(chunk, dtype=dtype)
+                yield a if self.wire == "i4" else a.reshape(-1, 2)
         self._account()
 
     def __iter__(self):

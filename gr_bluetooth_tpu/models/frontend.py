@@ -748,7 +748,8 @@ def _device_step(x_ri, *, A68, C68v,
             _, bits = demod.recover_symbols(d, ch_sps, n_sym)
             words = detect_pallas.pack_bits_words(bits)
         n = n_sym - 72 + 1
-        hitw, _, errw = detect_pallas.detect_words(words, n, max_ac_errors)
+        hitw, _, _ = detect_pallas.detect_words(words, n, max_ac_errors,
+                                                emit_err=False)
         if squelch is not None:
             hitw = hitw & _squelch_gate_words(snr_db, word_s0, word_mask_a,
                                               squelch)
@@ -836,22 +837,8 @@ def _pipelined_step(carry, new, *, wire_scale, wire_fmt="f32", overlap,
     short->complex converter this replaces).  Signature mirrors
     _device_step so compiled programs are shared across FrontEnd
     instances with identical configurations."""
-    if wire_fmt == "i4":
-        # one byte per complex sample: I nibble low, Q nibble high,
-        # two's-complement 4-bit — unpack + sign-extend on device
-        b = new.astype(jnp.int32)                  # (N,)
-        i4 = (b & 0xF).astype(jnp.float32)
-        q4 = ((b >> 4) & 0xF).astype(jnp.float32)
-        i4 = i4 - 16.0 * (i4 >= 8)
-        q4 = q4 - 16.0 * (q4 >= 8)
-        x = jnp.stack([i4, q4]) * wire_scale
-    elif wire_fmt == "u8":
-        # rtl_sdr offset bytes: x = (b - 127.5) / 127.5, on device
-        x = (new.astype(jnp.float32).T - 127.5) * wire_scale
-    else:
-        x = new.astype(jnp.float32).T
-        if wire_scale != 1.0:
-            x = x * wire_scale
+    from ..io.ingest import wire_decode_jnp
+    x = wire_decode_jnp(new, wire_fmt, wire_scale)
     xb = jnp.concatenate([carry, x], axis=1)
     if use_pallas and is_pfb:
         # stage on device so the step takes the fused-kernel fast path

@@ -209,63 +209,80 @@ class ParallelHostDecoder:
         worker before the oldest result is awaited — workers process
         their queues strictly in order (state-safe), and the pipe
         round-trip overlaps the next block's shard preparation."""
+        import queue as _q
+        import threading
+
         decoded = []
         pending: list[list[int]] = []
-        # per-worker receive buffers: results drained opportunistically by
-        # _drain() before each send, so the main process never blocks in
-        # conn.send() while a worker blocks in ITS send of a large result
-        # (both OS pipe buffers full — ADVICE r4 #3); workers answer their
-        # queues strictly in order, so buffered results stay aligned with
-        # `pending`'s block order
-        rxbuf: list[list] = [[] for _ in range(self.n)]
+        # all sends run on a feeder thread: the main thread then NEVER
+        # blocks in conn.send(), so it can always drain results — the
+        # classic both-pipe-buffers-full deadlock (main blocked sending a
+        # large shard while a worker blocks sending a large result,
+        # ADVICE r4 #3) cannot form.  Each Connection has exactly one
+        # sender (feeder) and one receiver (main), full duplex.
+        sendq: _q.Queue = _q.Queue()
+        feed_err: list = []
 
-        def _recv(w):
-            if rxbuf[w]:
-                return rxbuf[w].pop(0)
-            return self._conns[w].recv()
+        def _feeder():
+            while True:
+                item = sendq.get()
+                if item is None:
+                    return
+                w, payload = item
+                try:
+                    self._conns[w].send(payload)
+                except Exception as e:     # worker died; reap surfaces it
+                    feed_err.append(e)
+                    return
 
-        def _drain():
-            for w, c in enumerate(self._conns):
-                while c.poll():
-                    rxbuf[w].append(c.recv())
+        feeder = threading.Thread(target=_feeder, daemon=True)
+        feeder.start()
 
         def reap():
             for w in pending.pop(0):
-                status, payload = _recv(w)
+                while not self._conns[w].poll(30):
+                    if feed_err:
+                        raise RuntimeError(
+                            f"decode pool send failed: {feed_err[0]!r}")
+                status, payload = self._conns[w].recv()
                 if status == "error":
                     raise RuntimeError(f"decode worker failed:\n{payload}")
                 decoded.extend(payload)
 
-        for res in results:
-            sym, sizes = fe.packet_symbols_matrix(res)
-            if sym.shape[0]:
-                s = sym
-                msb = s[:, 67].astype(np.int64)
-                be = ((s[:, 68] ^ (1 - msb)) + (s[:, 69] ^ msb) +
-                      (s[:, 70] ^ (1 - msb)) + (s[:, 71] ^ msb))
-                t = s[:, 72:126].reshape(s.shape[0], 18, 3).astype(np.int64)
-                a, b, c = t[:, :, 0], t[:, :, 1], t[:, :, 2]
-                be = be + (((a ^ b) | (b ^ c)) | (c ^ a)).sum(axis=1)
-                from ..core.packets import ID_THRESHOLD
-                hp = (sizes >= 126) & (be < ID_THRESHOLD)
-            else:
-                hp = np.zeros(0, bool)
-            shards: list[list] = [[] for _ in range(self.n)]
-            for j, h in enumerate(res.hits):
-                shards[hash(h.lap) % self.n].append(dict(
-                    lap=h.lap, clkn=h.clkn, channel=h.channel,
-                    snr=h.snr_db, hp=bool(hp[j]), size=int(sizes[j]),
-                    sym=np.packbits(sym[j]).tobytes()))
-            busy = []
-            for w, rows in enumerate(shards):
-                if rows:
-                    _drain()
-                    self._conns[w].send(("block", rows))
-                    busy.append(w)
-            pending.append(busy)
-            if len(pending) > depth:
+        try:
+            for res in results:
+                sym, sizes = fe.packet_symbols_matrix(res)
+                if sym.shape[0]:
+                    s = sym
+                    msb = s[:, 67].astype(np.int64)
+                    be = ((s[:, 68] ^ (1 - msb)) + (s[:, 69] ^ msb) +
+                          (s[:, 70] ^ (1 - msb)) + (s[:, 71] ^ msb))
+                    t = s[:, 72:126].reshape(s.shape[0], 18,
+                                             3).astype(np.int64)
+                    a, b, c = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+                    be = be + (((a ^ b) | (b ^ c)) | (c ^ a)).sum(axis=1)
+                    from ..core.packets import ID_THRESHOLD
+                    hp = (sizes >= 126) & (be < ID_THRESHOLD)
+                else:
+                    hp = np.zeros(0, bool)
+                shards: list[list] = [[] for _ in range(self.n)]
+                for j, h in enumerate(res.hits):
+                    shards[hash(h.lap) % self.n].append(dict(
+                        lap=h.lap, clkn=h.clkn, channel=h.channel,
+                        snr=h.snr_db, hp=bool(hp[j]), size=int(sizes[j]),
+                        sym=np.packbits(sym[j]).tobytes()))
+                busy = []
+                for w, rows in enumerate(shards):
+                    if rows:
+                        sendq.put((w, ("block", rows)))
+                        busy.append(w)
+                pending.append(busy)
+                if len(pending) > depth:
+                    reap()
+            while pending:
                 reap()
-        while pending:
-            reap()
+        finally:
+            sendq.put(None)
+            feeder.join(timeout=10)
         decoded.sort(key=lambda d: (d.clkn, d.channel))
         return decoded

@@ -120,7 +120,8 @@ def _le_const(planes, k):
     return lt | eq
 
 
-def _kernel(words_hbm, out_ref, *, nw: int, max_ac_errors: int):
+def _kernel(words_hbm, out_ref, *, nw: int, max_ac_errors: int,
+            emit_err: bool):
     ci = pl.program_id(0)
     ti = pl.program_id(1)
 
@@ -183,8 +184,9 @@ def _kernel(words_hbm, out_ref, *, nw: int, max_ac_errors: int):
 
         out_ref[0] = hit
         out_ref[1] = gate
-        for b in range(_N_ERR):
-            out_ref[2 + b] = err[b]
+        if emit_err:
+            for b in range(_N_ERR):
+                out_ref[2 + b] = err[b]
 
     pl.run_scoped(
         body,
@@ -193,28 +195,34 @@ def _kernel(words_hbm, out_ref, *, nw: int, max_ac_errors: int):
     )
 
 
-@partial(jax.jit, static_argnames=("nw", "max_ac_errors", "interpret"))
-def _planes_padded(words, *, nw: int, max_ac_errors: int, interpret: bool):
+@partial(jax.jit, static_argnames=("nw", "max_ac_errors", "interpret",
+                                   "emit_err"))
+def _planes_padded(words, *, nw: int, max_ac_errors: int, interpret: bool,
+                   emit_err: bool = True):
     """words: (C_pad, n_tiles*nw + _PAD_W) int32
-    -> (N_PLANES, C_pad, n_tiles*nw) packed planes."""
+    -> (n_planes, C_pad, n_tiles*nw) packed planes, n_planes = N_PLANES
+    with emit_err else 2 (hit+gate only — the error-counter planes are
+    dead weight for callers that derive err from the hit windows)."""
     c_pad, w_pad = words.shape
+    n_planes = N_PLANES if emit_err else 2
     n_tiles = (w_pad - _PAD_W) // nw
     grid = (c_pad // _C_TILE, n_tiles)
     ones = int(_A68.sum())
     return pl.pallas_call(
-        partial(_kernel, nw=nw, max_ac_errors=max_ac_errors),
-        out_shape=jax.ShapeDtypeStruct((N_PLANES, c_pad, n_tiles * nw),
+        partial(_kernel, nw=nw, max_ac_errors=max_ac_errors,
+                emit_err=emit_err),
+        out_shape=jax.ShapeDtypeStruct((n_planes, c_pad, n_tiles * nw),
                                        jnp.int32),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((N_PLANES, _C_TILE, nw),
+        out_specs=pl.BlockSpec((n_planes, _C_TILE, nw),
                                lambda ci, ti: (0, ci, ti),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=c_pad * n_tiles * nw * (68 * 4 + ones + 68 * 6 + 120),
             bytes_accessed=c_pad * w_pad * 4 +
-            N_PLANES * c_pad * n_tiles * nw * 4,
+            n_planes * c_pad * n_tiles * nw * 4,
             transcendentals=0),
     )(words)
 
@@ -232,13 +240,15 @@ def pack_bits_words(bits):
 
 
 def detect_words(words, n: int, max_ac_errors: int = 6, nw: int = _NW,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, emit_err: bool = True):
     """Word-packed detection core.
 
     words: (C, W) int32 packed symbol streams (pack_bits_words layout);
     n: number of candidate offsets (= T - 71 for T symbols).
     Returns (hit (C, W'), gate (C, W'), err (7, C, W')) packed planes with
-    W' = ceil(n/32); hit/gate bits at offsets >= n are zeroed.
+    W' = ceil(n/32); hit/gate bits at offsets >= n are zeroed.  With
+    emit_err=False, err is None and the kernel skips the error-counter
+    plane writes (the hot path derives err from the hit windows).
     """
     C, W = words.shape
     n_words = -(-n // 32)
@@ -248,9 +258,11 @@ def detect_words(words, n: int, max_ac_errors: int = 6, nw: int = _NW,
     wp = jnp.zeros((c_pad, w_pad), jnp.int32)
     wp = jax.lax.dynamic_update_slice(wp, words[:, :min(W, w_pad)], (0, 0))
     planes = _planes_padded(wp, nw=nw, max_ac_errors=max_ac_errors,
-                            interpret=_resolve_interpret(interpret))
+                            interpret=_resolve_interpret(interpret),
+                            emit_err=emit_err)
     planes = planes[:, :C, :n_words]
-    hit, gate, err = planes[0], planes[1], planes[2:]
+    hit, gate = planes[0], planes[1]
+    err = planes[2:] if emit_err else None
     # mask bits at offsets >= n (tail windows read past T)
     tm = np.full(n_words, -1, np.int32)
     if n % 32:

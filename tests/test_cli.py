@@ -95,3 +95,21 @@ def test_stdin_u8_byte_path():
     assert r.returncode == 0, r.stderr.decode()[-500:]
     assert b"24d952" in r.stdout + r.stderr, \
         (r.stdout + r.stderr).decode()[-800:]
+
+
+def test_stdin_i4_byte_path():
+    """int4-packed stdin through btrx -4: the full-band wire format's
+    byte path (one byte per complex sample) surveys the planted LAP."""
+    from gr_bluetooth_tpu.io.ingest import wire_encode
+    from gr_bluetooth_tpu.testing import PiconetSim, make_piconet_capture
+    sim = PiconetSim(lap=0x24D952, uap=0x47, clk0=0x12780)
+    x, _ = make_piconet_capture(sim, n_slots=96, fs=4e6,
+                                center_freq=2441e6, seed=22,
+                                noise_std=0.02)
+    packed = wire_encode(np.stack([x.real, x.imag]).astype(np.float32),
+                         "i4")
+    r = run_btrx(["-r", "4e6", "-f", "2441e6", "-i", "-", "-4"],
+                 stdin=packed.tobytes())
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert b"24d952" in r.stdout + r.stderr, \
+        (r.stdout + r.stderr).decode()[-800:]
