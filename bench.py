@@ -369,17 +369,33 @@ def bench_sniffer_hostile():
                              batch_decode=batch)
                 s2.run_blocks(iter(blocks))    # discovery warm-up
                 sec[f"decoded_{mode}"] = len(s2.decoded)
-                med, lo, hi = _timed_reps(
-                    lambda: s2.run_blocks(iter(blocks)), reps)
-                fmt(sec, mode, med, lo, hi, n_hits)
+                if not (name == "max_rate" and batch):
+                    med, lo, hi = _timed_reps(
+                        lambda: s2.run_blocks(iter(blocks)), reps)
+                    fmt(sec, mode, med, lo, hi, n_hits)
             if name == "max_rate":
-                # second independent batched run: fresh Sniffer, fresh
-                # discovery, same load — the >=10x claim must hold twice
+                # two independent batched runs (fresh Sniffer, fresh
+                # discovery each — the >=10x claim must hold twice) with
+                # their reps INTERLEAVED, so both medians sample the same
+                # minutes of this shared host's load rather than one run
+                # eating a bad patch (observed 7-17x swings between
+                # back-to-back identical runs)
                 s2b = Sniffer(FS, CENTER, block_slots=BLOCK_SLOTS)
                 s2b.run_blocks(iter(blocks))
-                med, lo, hi = _timed_reps(
-                    lambda: s2b.run_blocks(iter(blocks)), reps)
-                fmt(sec, "batched_run2", med, lo, hi, n_hits)
+                t1s, t2s = [], []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    s2.run_blocks(iter(blocks))
+                    t1s.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    s2b.run_blocks(iter(blocks))
+                    t2s.append(time.perf_counter() - t0)
+                t1s.sort()
+                t2s.sort()
+                fmt(sec, "batched", t1s[len(t1s) // 2], t1s[0], t1s[-1],
+                    n_hits)
+                fmt(sec, "batched_run2", t2s[len(t2s) // 2], t2s[0],
+                    t2s[-1], n_hits)
                 sec["decoded_batched_run2"] = len(s2b.decoded) // (reps + 1)
 
                 n_workers = max(2, os.cpu_count() or 2)
