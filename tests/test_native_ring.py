@@ -283,3 +283,28 @@ def test_btbbdev_server_concurrent_clients_during_tick():
         bd = (f"00:00:00:{(lap >> 16) & 0xff:02x}:"
               f"{(lap >> 8) & 0xff:02x}:{lap & 0xff:02x}")
         assert final_counts.get(bd) == N_PER_LAP, (bd, final_counts.get(bd))
+
+
+def test_live_source_i4_wire():
+    """LiveSource speaks the 1-byte-per-complex-sample int4 wire: chunk
+    shapes are 1-D packed bytes, round-tripping the nibble codec."""
+    from gr_bluetooth_tpu.io.ingest import wire_decode_np, wire_encode
+    from gr_bluetooth_tpu.io.sources import LiveSource
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((2, 64 * 1024)) * 0.4).astype(np.float32)
+    packed = wire_encode(x, "i4")
+    rfd, wfd = os.pipe()
+    t = threading.Thread(target=_writer, args=(wfd, packed.tobytes()))
+    t.start()
+    src = LiveSource(rfd, chunk_samples=4096, ring_mb=4, wire="i4")
+    os.close(rfd)
+    got = []
+    for chunk in src.iter_raw():
+        assert chunk.shape == (4096,) and chunk.dtype == np.uint8
+        got.append(chunk)
+    t.join()
+    src.close()
+    rec = wire_decode_np(np.concatenate(got), "i4")
+    want = wire_decode_np(packed[: rec.shape[1]], "i4")
+    assert np.array_equal(rec[:, : want.shape[1]], want)
